@@ -1,0 +1,258 @@
+"""Unit tests for particles_tpu.resampling.
+
+Follows the reference's verification philosophy (SURVEY.md §4): exact
+identities where they exist (log-sum-exp, weighted moments), and
+distributional properties for the random schemes — unbiasedness
+E[#offspring(n)] = M*W[n], and the floor/ceil support property for
+systematic/ssp.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import particles_tpu.resampling as rs
+
+
+def random_weights(seed, N, concentrated=False):
+    rng = np.random.default_rng(seed)
+    lw = rng.normal(size=N) * (8.0 if concentrated else 1.0)
+    W = np.exp(lw - lw.max())
+    return jnp.asarray(W / W.sum(), dtype=jnp.float32)
+
+
+class TestLogSpace:
+    def test_log_sum_exp(self):
+        v = jnp.array([-1.0, 2.0, 0.5])
+        np.testing.assert_allclose(
+            rs.log_sum_exp(v), np.log(np.sum(np.exp(np.asarray(v)))), rtol=1e-5
+        )
+
+    def test_log_sum_exp_stability(self):
+        v = jnp.array([-1000.0, -1000.0])
+        np.testing.assert_allclose(rs.log_sum_exp(v), -1000.0 + np.log(2), rtol=1e-5)
+
+    def test_log_sum_exp_ab(self):
+        np.testing.assert_allclose(
+            rs.log_sum_exp_ab(jnp.float32(-1.0), jnp.float32(2.0)),
+            np.log(np.exp(-1.0) + np.exp(2.0)),
+            rtol=1e-5,
+        )
+
+    def test_log_mean_exp_weighted(self):
+        v = jnp.array([0.0, 1.0, 2.0])
+        W = jnp.array([0.5, 0.3, 0.2])
+        np.testing.assert_allclose(
+            rs.log_mean_exp(v, W=W),
+            np.log(np.sum(np.asarray(W) * np.exp(np.asarray(v)))),
+            rtol=1e-5,
+        )
+
+    def test_exp_and_normalise(self):
+        lw = jnp.array([-500.0, -501.0, -499.0])
+        W = rs.exp_and_normalise(lw)
+        assert jnp.all(W > 0)
+        np.testing.assert_allclose(jnp.sum(W), 1.0, rtol=1e-5)
+
+    def test_essl_uniform(self):
+        lw = jnp.zeros(100)
+        np.testing.assert_allclose(rs.essl(lw), 100.0, rtol=1e-5)
+
+    def test_essl_degenerate(self):
+        lw = jnp.concatenate([jnp.zeros(1), jnp.full((99,), -jnp.inf)])
+        np.testing.assert_allclose(rs.essl(lw), 1.0, rtol=1e-5)
+
+
+class TestWeights:
+    def test_basic(self):
+        lw = jnp.array([0.0, 1.0, -1.0])
+        w = rs.Weights(lw)
+        np.testing.assert_allclose(jnp.sum(w.W), 1.0, rtol=1e-5)
+        np.testing.assert_allclose(
+            w.log_mean, np.log(np.mean(np.exp(np.asarray(lw)))), rtol=1e-5
+        )
+
+    def test_nan_maps_to_neginf(self):
+        lw = jnp.array([0.0, jnp.nan, 1.0])
+        w = rs.Weights(lw)
+        assert w.lw[1] == -jnp.inf
+        assert w.W[1] == 0.0
+
+    def test_add(self):
+        w0 = rs.Weights()
+        assert w0.N == 0
+        w1 = w0.add(jnp.array([0.0, 1.0]))
+        assert w1.N == 2
+        w2 = w1.add(jnp.array([1.0, 0.0]))
+        np.testing.assert_allclose(w2.lw, jnp.array([1.0, 1.0]))
+
+    def test_pytree_roundtrip(self):
+        w = rs.Weights(jnp.array([0.0, 1.0]))
+        leaves, treedef = jax.tree_util.tree_flatten(w)
+        w2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        np.testing.assert_allclose(w2.ESS, w.ESS)
+
+
+class TestMoments:
+    def test_wmean_and_var(self):
+        x = jnp.array([1.0, 2.0, 3.0])
+        W = jnp.array([0.2, 0.3, 0.5])
+        out = rs.wmean_and_var(W, x)
+        m = 0.2 + 0.6 + 1.5
+        np.testing.assert_allclose(out["mean"], m, rtol=1e-5)
+        np.testing.assert_allclose(
+            out["var"], np.sum(np.asarray(W) * np.asarray(x) ** 2) - m * m, rtol=1e-5
+        )
+
+    def test_wmean_and_cov(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(500, 3)), dtype=jnp.float32)
+        W = jnp.full((500,), 1.0 / 500)
+        m, cov = rs.wmean_and_cov(W, x)
+        np.testing.assert_allclose(m, np.mean(np.asarray(x), axis=0), atol=1e-5)
+        np.testing.assert_allclose(
+            cov, np.cov(np.asarray(x).T, bias=True), atol=1e-4
+        )
+
+    def test_wquantiles_median(self):
+        x = jnp.arange(101, dtype=jnp.float32)
+        W = jnp.full((101,), 1.0 / 101)
+        q = rs.wquantiles(W, x, alphas=(0.5,))
+        assert abs(float(q[0]) - 50.0) <= 1.0
+
+    def test_str_array_variants(self):
+        W = jnp.array([0.5, 0.5])
+        theta = {"mu": jnp.array([0.0, 2.0]), "sigma": jnp.array([1.0, 3.0])}
+        out = rs.wmean_and_var_str_array(W, theta)
+        np.testing.assert_allclose(out["mean"]["mu"], 1.0)
+        np.testing.assert_allclose(out["mean"]["sigma"], 2.0)
+        q = rs.wquantiles_str_array(W, theta, alphas=(0.5,))
+        assert "mu" in q
+
+
+SCHEMES = ["multinomial", "residual", "stratified", "systematic", "ssp", "killing"]
+
+
+class TestSchemes:
+    @pytest.mark.parametrize("scheme", SCHEMES)
+    def test_output_range_and_shape(self, scheme):
+        W = random_weights(1, 64)
+        A = rs.resampling(scheme, jax.random.key(0), W)
+        assert A.shape == (64,)
+        assert A.dtype == jnp.int32
+        assert int(jnp.min(A)) >= 0 and int(jnp.max(A)) < 64
+
+    @pytest.mark.parametrize("scheme", ["multinomial", "stratified", "systematic", "residual"])
+    def test_M_not_N(self, scheme):
+        W = random_weights(2, 50)
+        A = rs.resampling(scheme, jax.random.key(1), W, M=120)
+        assert A.shape == (120,)
+        assert int(jnp.max(A)) < 50
+
+    @pytest.mark.parametrize("scheme", SCHEMES)
+    def test_unbiasedness(self, scheme):
+        """E[#offspring(n)] == M * W[n] for every scheme."""
+        N, reps = 32, 600
+        W = random_weights(3, N, concentrated=True)
+
+        def counts(key):
+            A = rs.resampling(scheme, key, W)
+            return jnp.bincount(A, length=N)
+
+        keys = jax.random.split(jax.random.key(42), reps)
+        all_counts = jax.jit(jax.vmap(counts))(keys)
+        mean_counts = np.asarray(jnp.mean(all_counts.astype(jnp.float32), axis=0))
+        expected = N * np.asarray(W)
+        # MC error: std of counts <= sqrt(N W (1+N W)) / sqrt(reps); be generous
+        se = np.sqrt(np.maximum(expected, 0.05)) / np.sqrt(reps)
+        assert np.all(np.abs(mean_counts - expected) < 6 * se + 0.05), (
+            scheme,
+            np.max(np.abs(mean_counts - expected) / (6 * se + 0.05)),
+        )
+
+    @pytest.mark.parametrize("scheme", ["systematic", "stratified", "ssp"])
+    def test_offspring_floor_ceil(self, scheme):
+        """systematic/stratified/ssp: #offspring(n) in {floor(MW), floor(MW)+1}."""
+        N = 40
+        W = random_weights(4, N, concentrated=True)
+        for s in range(20):
+            A = rs.resampling(scheme, jax.random.key(s), W)
+            counts = np.asarray(jnp.bincount(A, length=N))
+            floor = np.floor(N * np.asarray(W))
+            assert np.all(counts >= floor), scheme
+            assert np.all(counts <= floor + 1), scheme
+
+    @pytest.mark.parametrize("scheme", SCHEMES)
+    def test_exact_count(self, scheme):
+        """Total offspring is exactly M (exercises ssp fix-up path too)."""
+        for seed in range(10):
+            W = random_weights(seed, 77)
+            A = rs.resampling(scheme, jax.random.key(seed + 100), W)
+            assert A.shape == (77,)
+
+    def test_systematic_sorted(self):
+        W = random_weights(5, 100)
+        A = rs.resampling("systematic", jax.random.key(0), W)
+        assert np.all(np.diff(np.asarray(A)) >= 0)
+
+    def test_killing_requires_M_eq_N(self):
+        W = random_weights(6, 10)
+        with pytest.raises(ValueError):
+            rs.killing(jax.random.key(0), W, M=5)
+
+    def test_idiotic_constant(self):
+        W = random_weights(7, 10)
+        A = rs.idiotic(jax.random.key(0), W, 10)
+        assert len(np.unique(np.asarray(A))) == 1
+
+    def test_unknown_scheme_raises(self):
+        with pytest.raises(ValueError):
+            rs.resampling("nope", jax.random.key(0), jnp.ones(3) / 3)
+
+    def test_jit_and_degenerate_weights(self):
+        """Degenerate (one-hot) weights resolve to the single alive particle."""
+        W = jnp.zeros(16).at[5].set(1.0)
+        for scheme in ["multinomial", "stratified", "systematic", "residual", "ssp"]:
+            A = jax.jit(lambda k, W: rs.resampling(scheme, k, W))(
+                jax.random.key(0), W
+            )
+            assert np.all(np.asarray(A) == 5), scheme
+
+
+class TestInverseCdf:
+    def test_matches_two_pointer(self):
+        """Cross-check vectorised inverse_cdf against a literal sequential oracle."""
+        rng = np.random.default_rng(0)
+        W = rng.dirichlet(np.ones(30)).astype(np.float32)
+        su = np.sort(rng.uniform(size=25)).astype(np.float32)
+        # sequential oracle (same contract as reference resampling.py:484-509)
+        j, s = 0, W[0]
+        expected = np.empty(25, dtype=np.int64)
+        for n in range(25):
+            while su[n] > s:
+                j += 1
+                s += W[j]
+            expected[n] = j
+        got = rs.inverse_cdf(jnp.asarray(su), jnp.asarray(W))
+        np.testing.assert_array_equal(np.asarray(got), expected)
+
+    def test_uniform_spacings_sorted(self):
+        su = rs.uniform_spacings(jax.random.key(0), 1000)
+        su = np.asarray(su)
+        assert np.all(np.diff(su) > 0)
+        assert su[0] > 0 and su[-1] < 1
+        # roughly uniform
+        assert abs(su.mean() - 0.5) < 0.05
+
+
+class TestMultinomialQueue:
+    def test_dequeue(self):
+        W = random_weights(8, 20)
+        q = rs.MultinomialQueue(jax.random.key(0), W)
+        a = q.dequeue(7)
+        b = q.dequeue(15)  # triggers re-enqueue
+        assert a.shape == (7,) and b.shape == (15,)
+        assert int(jnp.max(b)) < 20
+        with pytest.raises(ValueError):
+            q.dequeue(25)
