@@ -1,0 +1,989 @@
+"""Probability distributions as JAX-native objects.
+
+TPU-first redesign of the reference distribution zoo
+(nchopin/particles ``distributions.py:215-1217``).  Same protocol and class
+names; the differences are forced by JAX semantics:
+
+* **Explicit randomness** — ``rvs(key, size=None)`` takes a ``jax.random``
+  key.  ``size`` must be static under jit (it fixes output shapes).
+* **Array parameters** ("array distributions" a.k.a. Markov kernels,
+  reference distributions.py:135-154) work exactly as in the reference:
+  passing an (N,) array for a parameter makes ``rvs``/``logpdf`` broadcast
+  over the N particles — on TPU this vectorised form maps straight onto the
+  VPU (no ``vmap`` needed for univariate kernels).
+* **Pytree models** — every distribution is a pytree (via
+  :class:`particles_tpu.utils.struct.Pytree`), so distributions can be stored
+  on Feynman-Kac objects, carried through ``lax.scan``, and vmapped over
+  parameter batches (SMC², PMMH).
+* **ppf without SciPy** — quantile functions that SciPy computes with special
+  function inverses are implemented as fixed-iteration vectorised bisection
+  on the (jax.scipy) CDF: data-independent control flow, jit/TPU friendly.
+* **Structured arrays → dicts** — :class:`StructDist` consumes/produces
+  dict-of-array pytrees (``theta["mu"]``) instead of numpy record arrays.
+
+Default dtype is float32 (TPU-native); pass float64 arrays under
+``jax.enable_x64`` if needed.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+from jax.scipy import special as jsp_special
+from jax.scipy import stats as jsp_stats
+
+from particles_tpu.utils.struct import Pytree
+
+HALFLOG2PI = 0.5 * float(jnp.log(2.0 * jnp.pi))
+
+__all__ = [
+    "ProbDist",
+    "DiscreteDist",
+    "LocScaleDist",
+    "Normal",
+    "Logistic",
+    "Laplace",
+    "Beta",
+    "Gamma",
+    "InvGamma",
+    "LogNormal",
+    "Uniform",
+    "Student",
+    "FlatNormal",
+    "Dirac",
+    "TruncNormal",
+    "Poisson",
+    "Binomial",
+    "Geometric",
+    "NegativeBinomial",
+    "Categorical",
+    "DiscreteUniform",
+    "TransformedDist",
+    "LinearD",
+    "LogD",
+    "LogitD",
+    "Mixture",
+    "MixMissing",
+    "Dirichlet",
+    "MvNormal",
+    "VaryingCovNormal",
+    "IndepProd",
+    "IID",
+    "Cond",
+    "StructDist",
+]
+
+
+# ---------------------------------------------------------------------------
+# generic helpers
+# ---------------------------------------------------------------------------
+
+def _bisect_ppf(cdf, u, lo, hi, iters=64):
+    """Quantile via fixed-iteration bisection of a vectorised CDF.
+
+    Replaces scipy's special-function inverses (e.g. ``stats.gamma.ppf``)
+    with a branch-free loop: works under jit/vmap on TPU, accuracy
+    ~ (hi-lo) * 2**-iters.
+    """
+    u = jnp.asarray(u)
+    a = jnp.broadcast_to(jnp.asarray(lo, dtype=u.dtype), u.shape)
+    b = jnp.broadcast_to(jnp.asarray(hi, dtype=u.dtype), u.shape)
+
+    def body(_, ab):
+        a, b = ab
+        m = 0.5 * (a + b)
+        go_right = cdf(m) < u
+        return jnp.where(go_right, m, a), jnp.where(go_right, b, m)
+
+    a, b = jax.lax.fori_loop(0, iters, body, (a, b))
+    return 0.5 * (a + b)
+
+
+def _param_size(*params):
+    """Leading dimension implied by broadcasting the parameters (or None)."""
+    shape = jnp.broadcast_shapes(*(jnp.shape(p) for p in params))
+    return shape[0] if shape else None
+
+
+class ProbDist(Pytree):
+    """Base class for probability distributions (reference distributions.py:215-251).
+
+    Subclasses define ``logpdf(x)``, ``rvs(key, size=None)`` and optionally
+    ``ppf(u)`` (needed for SQMC), plus attributes ``dim`` and ``dtype``.
+    """
+
+    dim = 1
+    dtype = "float32"
+
+    def shape(self, size):
+        if size is None:
+            return None
+        return (size,) if self.dim == 1 else (size, self.dim)
+
+    def _draw_shape(self, size, *params):
+        """Concrete shape for rvs: ``size`` or the params' broadcast shape."""
+        if size is None:
+            size = _param_size(*params)
+        if size is None:
+            return ()
+        return self.shape(size)
+
+    def logpdf(self, x):
+        raise NotImplementedError
+
+    def pdf(self, x):
+        return jnp.exp(self.logpdf(x))
+
+    def rvs(self, key, size=None):
+        raise NotImplementedError
+
+    def ppf(self, u):
+        raise NotImplementedError
+
+    # convenience alias (jax ecosystem convention)
+    def sample(self, key, size=None):
+        return self.rvs(key, size=size)
+
+
+class DiscreteDist(ProbDist):
+    """Base class for discrete distributions (reference distributions.py:516)."""
+
+    dtype = "int32"
+
+
+class LocScaleDist(ProbDist):
+    """Base class for location-scale families (reference distributions.py:256-264)."""
+
+    def __init__(self, loc=0.0, scale=1.0):
+        self.loc = loc
+        self.scale = scale
+
+
+# ---------------------------------------------------------------------------
+# continuous univariate distributions
+# ---------------------------------------------------------------------------
+
+class Normal(LocScaleDist):
+    """N(loc, scale^2) distribution (reference distributions.py:267-286)."""
+
+    def rvs(self, key, size=None):
+        shape = self._draw_shape(size, self.loc, self.scale)
+        return self.loc + self.scale * jax.random.normal(key, shape)
+
+    def logpdf(self, x):
+        return jsp_stats.norm.logpdf(x, loc=self.loc, scale=self.scale)
+
+    def ppf(self, u):
+        return self.loc + self.scale * jsp_special.ndtri(u)
+
+    def posterior(self, x, sigma=1.0):
+        """Model: X_1..X_n ~ N(theta, sigma^2), theta ~ self, sigma fixed."""
+        pr0 = 1.0 / self.scale**2
+        prd = x.size / sigma**2
+        varp = 1.0 / (pr0 + prd)
+        mu = varp * (pr0 * self.loc + prd * jnp.mean(x))
+        return Normal(loc=mu, scale=jnp.sqrt(varp))
+
+
+class Logistic(LocScaleDist):
+    """Logistic(loc, scale) distribution (reference distributions.py:288-298)."""
+
+    def rvs(self, key, size=None):
+        shape = self._draw_shape(size, self.loc, self.scale)
+        return self.loc + self.scale * jax.random.logistic(key, shape)
+
+    def logpdf(self, x):
+        z = (x - self.loc) / self.scale
+        return -z - 2.0 * jax.nn.softplus(-z) - jnp.log(self.scale)
+
+    def ppf(self, u):
+        return self.loc + self.scale * (jnp.log(u) - jnp.log1p(-u))
+
+
+class Laplace(LocScaleDist):
+    """Laplace(loc, scale) distribution (reference distributions.py:301-316)."""
+
+    def rvs(self, key, size=None):
+        shape = self._draw_shape(size, self.loc, self.scale)
+        return self.loc + self.scale * jax.random.laplace(key, shape)
+
+    def logpdf(self, x):
+        return -jnp.abs(x - self.loc) / self.scale - jnp.log(2.0 * self.scale)
+
+    def ppf(self, u):
+        q = jnp.where(
+            u < 0.5, jnp.log(2.0 * u), -jnp.log(2.0 * (1.0 - u))
+        )
+        return self.loc + self.scale * q
+
+
+class Beta(ProbDist):
+    """Beta(a, b) distribution (reference distributions.py:319-333)."""
+
+    def __init__(self, a=1.0, b=1.0):
+        self.a = a
+        self.b = b
+
+    def rvs(self, key, size=None):
+        shape = self._draw_shape(size, self.a, self.b)
+        return jax.random.beta(key, self.a, self.b, shape)
+
+    def logpdf(self, x):
+        a, b = self.a, self.b
+        return (
+            (a - 1.0) * jnp.log(x)
+            + (b - 1.0) * jnp.log1p(-x)
+            - jsp_special.betaln(a, b)
+        )
+
+    def ppf(self, u):
+        return _bisect_ppf(
+            lambda m: jsp_special.betainc(self.a, self.b, m), u, 0.0, 1.0
+        )
+
+
+class Gamma(ProbDist):
+    """Gamma(a, b) distribution (shape a, rate b; scale = 1/b)
+    (reference distributions.py:336-355)."""
+
+    def __init__(self, a=1.0, b=1.0):
+        self.a = a
+        self.b = b
+
+    @property
+    def scale(self):
+        return 1.0 / self.b
+
+    def rvs(self, key, size=None):
+        shape = self._draw_shape(size, self.a, self.b)
+        return jax.random.gamma(key, self.a, shape) / self.b
+
+    def logpdf(self, x):
+        a, b = self.a, self.b
+        return (
+            a * jnp.log(b)
+            + (a - 1.0) * jnp.log(x)
+            - b * x
+            - jsp_special.gammaln(a)
+        )
+
+    def ppf(self, u):
+        hi = (self.a + 40.0 * jnp.sqrt(jnp.asarray(self.a, jnp.float32)) + 40.0) / self.b
+        return _bisect_ppf(
+            lambda m: jsp_special.gammainc(self.a, self.b * m), u, 0.0, hi
+        )
+
+    def posterior(self, x):
+        """Model: X_1..X_n ~ N(0, 1/theta), theta ~ Gamma(a, b)."""
+        return Gamma(a=self.a + 0.5 * x.size, b=self.b + 0.5 * jnp.sum(x**2))
+
+
+class InvGamma(ProbDist):
+    """Inverse Gamma(a, b) distribution (reference distributions.py:358-376)."""
+
+    def __init__(self, a=1.0, b=1.0):
+        self.a = a
+        self.b = b
+
+    def rvs(self, key, size=None):
+        shape = self._draw_shape(size, self.a, self.b)
+        return self.b / jax.random.gamma(key, self.a, shape)
+
+    def logpdf(self, x):
+        a, b = self.a, self.b
+        return (
+            a * jnp.log(b)
+            - (a + 1.0) * jnp.log(x)
+            - b / x
+            - jsp_special.gammaln(a)
+        )
+
+    def ppf(self, u):
+        # X = b / G with G ~ Gamma(a, 1): decreasing map, so invert the tail
+        g = Gamma(a=self.a, b=1.0).ppf(1.0 - u)
+        return self.b / g
+
+    def posterior(self, x):
+        """Model: X_1..X_n ~ N(0, theta), theta ~ InvGamma(a, b)."""
+        return InvGamma(a=self.a + 0.5 * x.size, b=self.b + 0.5 * jnp.sum(x**2))
+
+
+class LogNormal(ProbDist):
+    """Distribution of exp(N(mu, sigma^2)) (reference distributions.py:379-396)."""
+
+    def __init__(self, mu=0.0, sigma=1.0):
+        self.mu = mu
+        self.sigma = sigma
+
+    def rvs(self, key, size=None):
+        shape = self._draw_shape(size, self.mu, self.sigma)
+        return jnp.exp(self.mu + self.sigma * jax.random.normal(key, shape))
+
+    def logpdf(self, x):
+        lx = jnp.log(x)
+        return jsp_stats.norm.logpdf(lx, loc=self.mu, scale=self.sigma) - lx
+
+    def ppf(self, u):
+        return jnp.exp(self.mu + self.sigma * jsp_special.ndtri(u))
+
+
+class Uniform(ProbDist):
+    """Uniform([a, b]) distribution (reference distributions.py:399-414)."""
+
+    def __init__(self, a=0.0, b=1.0):
+        self.a = a
+        self.b = b
+
+    def rvs(self, key, size=None):
+        shape = self._draw_shape(size, self.a, self.b)
+        return self.a + (self.b - self.a) * jax.random.uniform(key, shape)
+
+    def logpdf(self, x):
+        inside = (x >= self.a) & (x <= self.b)
+        return jnp.where(inside, -jnp.log(self.b - self.a), -jnp.inf)
+
+    def ppf(self, u):
+        return self.a + (self.b - self.a) * u
+
+
+class Student(ProbDist):
+    """Student t(df, loc, scale) distribution (reference distributions.py:417-432)."""
+
+    def __init__(self, df=3.0, loc=0.0, scale=1.0):
+        self.df = df
+        self.loc = loc
+        self.scale = scale
+
+    def rvs(self, key, size=None):
+        shape = self._draw_shape(size, self.df, self.loc, self.scale)
+        return self.loc + self.scale * jax.random.t(key, self.df, shape)
+
+    def logpdf(self, x):
+        df = self.df
+        z = (x - self.loc) / self.scale
+        return (
+            jsp_special.gammaln(0.5 * (df + 1.0))
+            - jsp_special.gammaln(0.5 * df)
+            - 0.5 * jnp.log(df * jnp.pi)
+            - jnp.log(self.scale)
+            - 0.5 * (df + 1.0) * jnp.log1p(z * z / df)
+        )
+
+    def _std_cdf(self, t):
+        df = self.df
+        w = df / (df + t * t)
+        tail = 0.5 * jsp_special.betainc(0.5 * df, 0.5, w)
+        return jnp.where(t > 0, 1.0 - tail, tail)
+
+    def ppf(self, u):
+        z = _bisect_ppf(self._std_cdf, u, -1e6, 1e6, iters=80)
+        return self.loc + self.scale * z
+
+
+class FlatNormal(ProbDist):
+    """Improper flat distribution ("Normal with infinite variance",
+    reference distributions.py:435-451): logpdf is 0, sampling produces NaNs
+    (used for missing values)."""
+
+    def __init__(self, loc=0.0):
+        self.loc = loc
+
+    def logpdf(self, x):
+        return jnp.zeros(jnp.broadcast_shapes(jnp.shape(x), jnp.shape(self.loc)))
+
+    def rvs(self, key, size=None):
+        shape = self._draw_shape(size, self.loc)
+        return self.loc + jnp.full(shape, jnp.nan)
+
+
+class Dirac(ProbDist):
+    """Dirac mass at loc (reference distributions.py:454-472)."""
+
+    def __init__(self, loc=0.0):
+        self.loc = loc
+
+    def rvs(self, key, size=None):
+        if jnp.ndim(self.loc) >= 1:
+            return jnp.asarray(self.loc)
+        N = 1 if size is None else size
+        return jnp.full((N,), self.loc)
+
+    def logpdf(self, x):
+        return jnp.where(x == self.loc, 0.0, -jnp.inf)
+
+    def ppf(self, u):
+        return self.rvs(None, size=u.shape[0])
+
+
+class TruncNormal(ProbDist):
+    """N(mu, sigma^2) truncated to [a, b] (reference distributions.py:475-513)."""
+
+    def __init__(self, mu=0.0, sigma=1.0, a=0.0, b=1.0):
+        self.mu = mu
+        self.sigma = sigma
+        self.a = a
+        self.b = b
+
+    @property
+    def au(self):
+        return (self.a - self.mu) / self.sigma
+
+    @property
+    def bu(self):
+        return (self.b - self.mu) / self.sigma
+
+    def rvs(self, key, size=None):
+        shape = self._draw_shape(size, self.mu, self.sigma, self.a, self.b)
+        z = jax.random.truncated_normal(key, self.au, self.bu, shape)
+        return self.mu + self.sigma * z
+
+    def logpdf(self, x):
+        log_z = jnp.log(
+            jsp_special.ndtr(self.bu) - jsp_special.ndtr(self.au)
+        )
+        lp = jsp_stats.norm.logpdf(x, loc=self.mu, scale=self.sigma) - log_z
+        inside = (x >= self.a) & (x <= self.b)
+        return jnp.where(inside, lp, -jnp.inf)
+
+    def ppf(self, u):
+        Fa = jsp_special.ndtr(self.au)
+        Fb = jsp_special.ndtr(self.bu)
+        z = jsp_special.ndtri(Fa + u * (Fb - Fa))
+        return self.mu + self.sigma * z
+
+    def posterior(self, x, s=1.0):
+        """Model: X_1..X_n ~ N(theta, s^2), theta ~ self, s fixed."""
+        pr0 = 1.0 / self.sigma**2
+        prd = x.size / s**2
+        varp = 1.0 / (pr0 + prd)
+        mu = varp * (pr0 * self.mu + prd * jnp.mean(x))
+        return TruncNormal(mu=mu, sigma=jnp.sqrt(varp), a=self.a, b=self.b)
+
+
+# ---------------------------------------------------------------------------
+# discrete distributions
+# ---------------------------------------------------------------------------
+
+class Poisson(DiscreteDist):
+    """Poisson(rate) distribution (reference distributions.py:519-532)."""
+
+    def __init__(self, rate=1.0):
+        self.rate = rate
+
+    def rvs(self, key, size=None):
+        shape = self._draw_shape(size, self.rate)
+        return jax.random.poisson(key, self.rate, shape).astype(jnp.int32)
+
+    def logpdf(self, x):
+        return (
+            x * jnp.log(self.rate) - self.rate - jsp_special.gammaln(x + 1.0)
+        )
+
+    def ppf(self, u):
+        # P(X <= k) = gammaincc(k+1, rate); integer bisection
+        hi = self.rate + 12.0 * jnp.sqrt(jnp.asarray(self.rate, jnp.float32)) + 20.0
+        k = _bisect_ppf(
+            lambda m: jsp_special.gammaincc(jnp.floor(m) + 1.0, self.rate),
+            u,
+            -0.5,
+            hi,
+        )
+        return jnp.ceil(k - 0.5).astype(jnp.int32)
+
+
+class Binomial(DiscreteDist):
+    """Binomial(n, p) distribution (reference distributions.py:535-549)."""
+
+    def __init__(self, n=1, p=0.5):
+        self.n = n
+        self.p = p
+
+    def rvs(self, key, size=None):
+        shape = self._draw_shape(size, self.p)
+        return jax.random.binomial(
+            key, jnp.asarray(self.n, jnp.float32), self.p, shape
+        ).astype(jnp.int32)
+
+    def logpdf(self, x):
+        n, p = jnp.asarray(self.n, jnp.float32), self.p
+        return (
+            jsp_special.gammaln(n + 1.0)
+            - jsp_special.gammaln(x + 1.0)
+            - jsp_special.gammaln(n - x + 1.0)
+            + x * jnp.log(p)
+            + (n - x) * jnp.log1p(-p)
+        )
+
+    def ppf(self, u):
+        # P(X <= k) = betainc(n-k, k+1, 1-p) (regularised incomplete beta)
+        n = jnp.asarray(self.n, jnp.float32)
+
+        def cdf(m):
+            k = jnp.floor(m)
+            return jsp_special.betainc(
+                jnp.maximum(n - k, 1e-12), k + 1.0, 1.0 - self.p
+            )
+
+        k = _bisect_ppf(cdf, u, -0.5, n + 0.5)
+        return jnp.clip(jnp.ceil(k - 0.5), 0, self.n).astype(jnp.int32)
+
+
+class Geometric(DiscreteDist):
+    """Geometric(p) distribution on {1, 2, ...} (reference distributions.py:552-565)."""
+
+    def __init__(self, p=0.5):
+        self.p = p
+
+    def rvs(self, key, size=None):
+        shape = self._draw_shape(size, self.p)
+        shape = () if shape is None else shape
+        u = jax.random.uniform(key, shape)
+        return self.ppf(u)
+
+    def logpdf(self, x):
+        return (x - 1.0) * jnp.log1p(-self.p) + jnp.log(self.p)
+
+    def ppf(self, u):
+        k = jnp.ceil(jnp.log1p(-u) / jnp.log1p(-self.p))
+        return jnp.maximum(k, 1.0).astype(jnp.int32)
+
+
+class NegativeBinomial(DiscreteDist):
+    """Negative Binomial(n, p): number of failures before the n-th success
+    (reference distributions.py:568-595)."""
+
+    def __init__(self, n=1, p=0.5):
+        self.n = n
+        self.p = p
+
+    def rvs(self, key, size=None):
+        # Gamma-Poisson mixture: X | G ~ Poisson(G), G ~ Gamma(n, p/(1-p))
+        k1, k2 = jax.random.split(key)
+        shape = self._draw_shape(size, self.p)
+        shape = () if shape is None else shape
+        g = jax.random.gamma(k1, jnp.asarray(self.n, jnp.float32), shape)
+        lam = g * (1.0 - self.p) / self.p
+        return jax.random.poisson(k2, lam).astype(jnp.int32)
+
+    def logpdf(self, x):
+        n = jnp.asarray(self.n, jnp.float32)
+        return (
+            jsp_special.gammaln(x + n)
+            - jsp_special.gammaln(x + 1.0)
+            - jsp_special.gammaln(n)
+            + n * jnp.log(self.p)
+            + x * jnp.log1p(-self.p)
+        )
+
+
+class Categorical(DiscreteDist):
+    """Categorical distribution with probabilities p ((k,) or (N, k) array)
+    (reference distributions.py:598-628)."""
+
+    def __init__(self, p=None):
+        self.p = p
+
+    def logpdf(self, x):
+        p = jnp.asarray(self.p)
+        lp = jnp.log(p)
+        if p.ndim == 1:
+            return lp[x]
+        return jnp.take_along_axis(lp, x[:, None], axis=-1)[:, 0]
+
+    def rvs(self, key, size=None):
+        p = jnp.asarray(self.p)
+        if p.ndim == 1:
+            N = 1 if size is None else size
+            cs = jnp.cumsum(p)
+            u = jax.random.uniform(key, (N,))
+            return jnp.clip(
+                jnp.searchsorted(cs, u), 0, p.shape[-1] - 1
+            ).astype(jnp.int32)
+        N = p.shape[0] if size is None else size
+        cs = jnp.cumsum(p, axis=-1)
+        u = jax.random.uniform(key, (N, 1))
+        return jnp.clip(
+            jnp.sum(u > cs, axis=-1), 0, p.shape[-1] - 1
+        ).astype(jnp.int32)
+
+
+class DiscreteUniform(DiscreteDist):
+    """Uniform on {lo, ..., hi-1} (reference distributions.py:631-652)."""
+
+    def __init__(self, lo=0, hi=2):
+        self.lo = lo
+        self.hi = hi
+
+    def logpdf(self, x):
+        inside = (x >= self.lo) & (x < self.hi)
+        return jnp.where(inside, -jnp.log(float(self.hi - self.lo)), -jnp.inf)
+
+    def rvs(self, key, size=None):
+        N = 1 if size is None else size
+        return jax.random.randint(key, (N,), self.lo, self.hi).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# distribution transforms
+# ---------------------------------------------------------------------------
+
+class TransformedDist(ProbDist):
+    """Distribution of Y = f(X) for a base distribution of X
+    (reference distributions.py:657-697)."""
+
+    def __init__(self, base_dist):
+        self.base_dist = base_dist
+
+    def _error_msg(self, method):
+        return f"method {method} not defined in class {self.__class__.__name__}"
+
+    def f(self, x):
+        raise NotImplementedError(self._error_msg("f"))
+
+    def finv(self, x):
+        raise NotImplementedError(self._error_msg("finv"))
+
+    def logJac(self, x):
+        """Log-Jacobian of the inverse transform."""
+        raise NotImplementedError(self._error_msg("logJac"))
+
+    def rvs(self, key, size=None):
+        return self.f(self.base_dist.rvs(key, size=size))
+
+    def logpdf(self, x):
+        return self.base_dist.logpdf(self.finv(x)) + self.logJac(x)
+
+    def ppf(self, u):
+        return self.f(self.base_dist.ppf(u))
+
+
+class LinearD(TransformedDist):
+    """Distribution of Y = a X + b (reference distributions.py:700-724)."""
+
+    def __init__(self, base_dist, a=1.0, b=0.0):
+        self.a = a
+        self.b = b
+        self.base_dist = base_dist
+
+    def f(self, x):
+        return self.a * x + self.b
+
+    def finv(self, x):
+        return (x - self.b) / self.a
+
+    def logJac(self, x):
+        return -jnp.log(self.a) * jnp.ones(jnp.shape(x))
+
+
+class LogD(TransformedDist):
+    """Distribution of Y = log(X) (reference distributions.py:727-746)."""
+
+    def f(self, x):
+        return jnp.log(x)
+
+    def finv(self, x):
+        return jnp.exp(x)
+
+    def logJac(self, x):
+        return x
+
+
+class LogitD(TransformedDist):
+    """Distribution of Y = logit((X-a)/(b-a)) (reference distributions.py:749-780)."""
+
+    def __init__(self, base_dist, a=0.0, b=1.0):
+        self.a = a
+        self.b = b
+        self.base_dist = base_dist
+
+    def f(self, x):
+        p = (x - self.a) / (self.b - self.a)
+        return jnp.log(p) - jnp.log1p(-p)
+
+    def finv(self, x):
+        return self.a + (self.b - self.a) / (1.0 + jnp.exp(-x))
+
+    def logJac(self, x):
+        return jnp.log(self.b - self.a) + x - 2.0 * jax.nn.softplus(x)
+
+
+# ---------------------------------------------------------------------------
+# mixtures
+# ---------------------------------------------------------------------------
+
+class Mixture(ProbDist):
+    """Mixture of k univariate distributions (reference distributions.py:783-816).
+
+    ``pk`` may be (k,) or (N, k) (varying mixture probabilities across
+    particles).
+    """
+
+    def __init__(self, pk, *components):
+        self.pk = jnp.atleast_1d(jnp.asarray(pk))
+        self.k = self.pk.shape[-1]
+        if len(components) != self.k:
+            raise ValueError("Size of pk and nr of components should match")
+        self.components = list(components)
+
+    def logpdf(self, x):
+        lpks = [
+            jnp.log(self.pk[..., i]) + cd.logpdf(x)
+            for i, cd in enumerate(self.components)
+        ]
+        return jsp_special.logsumexp(jnp.stack(lpks, axis=-1), axis=-1)
+
+    def rvs(self, key, size=None):
+        kc, *kxs = jax.random.split(key, self.k + 1)
+        k = Categorical(p=self.pk).rvs(kc, size=size)
+        xs = jnp.stack(
+            [cd.rvs(kx, size=size) for cd, kx in zip(self.components, kxs)],
+            axis=-1,
+        )
+        return jnp.take_along_axis(xs, k[..., None], axis=-1)[..., 0]
+
+
+class MixMissing(ProbDist):
+    """Mixture of a base distribution and 'missing' (NaN) with prob pmiss
+    (reference distributions.py:819-851)."""
+
+    def __init__(self, pmiss=0.10, base_dist=None):
+        self.pmiss = pmiss
+        self.base_dist = base_dist
+
+    def logpdf(self, x):
+        lp = self.base_dist.logpdf(x)
+        isna = jnp.isnan(jnp.asarray(x))
+        return jnp.where(
+            isna, jnp.log(self.pmiss), lp + jnp.log1p(-self.pmiss)
+        )
+
+    def rvs(self, key, size=None):
+        k1, k2 = jax.random.split(key)
+        x = self.base_dist.rvs(k1, size=size)
+        miss = jax.random.uniform(k2, (x.shape[0],)) < self.pmiss
+        if x.ndim > 1:
+            miss = miss[:, None]
+        return jnp.where(miss, jnp.nan, x)
+
+
+# ---------------------------------------------------------------------------
+# multivariate distributions
+# ---------------------------------------------------------------------------
+
+class Dirichlet(ProbDist):
+    """Dirichlet(alphas) distribution (reference distributions.py:854-885)."""
+
+    def __init__(self, alphas=None):
+        if alphas is None:
+            raise ValueError("Dirichlet: missing parameter alphas")
+        self.alphas = jnp.asarray(alphas)
+
+    @property
+    def dim(self):
+        return self.alphas.shape[0]
+
+    def logpdf(self, x):
+        a = self.alphas
+        norm = jnp.sum(jsp_special.gammaln(a)) - jsp_special.gammaln(jnp.sum(a))
+        return jnp.sum((a - 1.0) * jnp.log(x), axis=-1) - norm
+
+    def rvs(self, key, size=1):
+        return jax.random.dirichlet(key, self.alphas, (size,))
+
+
+class MvNormal(ProbDist):
+    """Multivariate Normal N(loc, diag(scale) @ cov @ diag(scale))
+    (reference distributions.py:888-1009).
+
+    ``loc``/``scale`` may be (d,) or (N, d); ``cov`` is a fixed (d, d)
+    matrix whose Cholesky factor is computed once at construction.
+    """
+
+    _static_fields = ()
+
+    def __init__(self, loc=0.0, scale=1.0, cov=None):
+        self.loc = jnp.asarray(loc)
+        self.scale = scale
+        self.cov = (
+            jnp.eye(self.loc.shape[-1]) if cov is None else jnp.asarray(cov)
+        )
+        self.L = jnp.linalg.cholesky(self.cov)
+
+    @property
+    def dim(self):
+        return self.cov.shape[-1]
+
+    def linear_transform(self, z):
+        # scale is scalar or (N, d), broadcasting against (N, d) draws
+        return self.loc + self.scale * jnp.dot(z, self.L.T)
+
+    def logpdf(self, x):
+        halflogdetcor = jnp.sum(jnp.log(jnp.diag(self.L)))
+        scale = jnp.asarray(self.scale)
+        xc = (x - self.loc) / scale
+        z = jax.scipy.linalg.solve_triangular(
+            self.L, jnp.swapaxes(jnp.atleast_2d(xc), -1, -2), lower=True
+        )
+        if scale.ndim == 0:
+            logdet = self.dim * jnp.log(scale)
+        else:
+            logdet = jnp.sum(jnp.log(scale), axis=-1)
+        logdet = logdet + halflogdetcor
+        out = -0.5 * jnp.sum(z * z, axis=-2) - logdet - self.dim * HALFLOG2PI
+        return out.reshape(jnp.shape(x)[:-1])
+
+    def rvs(self, key, size=None):
+        if size is None:
+            sh = jnp.broadcast_shapes(jnp.shape(self.loc), jnp.shape(self.scale))
+            N = 1 if len(sh) <= 1 else sh[0]
+        else:
+            N = size
+        z = jax.random.normal(key, (N, self.dim))
+        return self.linear_transform(z)
+
+    def ppf(self, u):
+        """Rosenblatt transform; if u has fewer columns than dim, the
+        remaining coordinates are set to 0 (reference distributions.py:971-982)."""
+        N, du = u.shape
+        z = jsp_special.ndtri(u)
+        if du < self.dim:
+            z = jnp.concatenate([z, jnp.zeros((N, self.dim - du))], axis=1)
+        return self.linear_transform(z)
+
+    def posterior(self, x, Sigma=None):
+        """Model: X_1..X_n ~ N(theta, Sigma), theta ~ self (scale must be 1)."""
+        n = x.shape[0]
+        Sigma = jnp.eye(self.dim) if Sigma is None else jnp.asarray(Sigma)
+        Siginv = jnp.linalg.inv(Sigma)
+        covinv = jnp.linalg.inv(self.cov)
+        Qpost = covinv + n * Siginv
+        Sigpost = jnp.linalg.inv(Qpost)
+        m = jnp.broadcast_to(jnp.asarray(self.loc), (self.dim,))
+        mupost = Sigpost @ (m @ covinv + Siginv @ jnp.sum(x, axis=0))
+        return MvNormal(loc=mupost, cov=Sigpost)
+
+
+class VaryingCovNormal(ProbDist):
+    """Multivariate Normal with a per-particle covariance matrix
+    (reference distributions.py:1012-1063): ``cov`` is (N, d, d)."""
+
+    def __init__(self, loc=0.0, cov=None):
+        self.loc = loc
+        self.cov = jnp.asarray(cov)
+        self.L = jnp.linalg.cholesky(self.cov)  # batched
+
+    @property
+    def dim(self):
+        return self.cov.shape[-1]
+
+    def linear_transform(self, z):
+        return self.loc + jnp.einsum("...ij,...j->...i", self.L, z)
+
+    def rvs(self, key, size=None):
+        N = self.cov.shape[0] if size is None else size
+        z = jax.random.normal(key, (N, self.dim))
+        return self.linear_transform(z)
+
+    def logpdf(self, x):
+        halflogdet = jnp.sum(
+            jnp.log(jnp.diagonal(self.L, axis1=-2, axis2=-1)), axis=-1
+        )
+        z = jax.scipy.linalg.solve_triangular(
+            self.L, (x - self.loc)[..., None], lower=True
+        )[..., 0]
+        return (
+            -0.5 * jnp.sum(z * z, axis=-1) - halflogdet - self.dim * HALFLOG2PI
+        )
+
+
+class IndepProd(ProbDist):
+    """Product of independent univariate distributions
+    (reference distributions.py:1066-1108): inputs/outputs are (N, d)."""
+
+    def __init__(self, *dists):
+        self.dists = list(dists)
+        self.dim = len(dists)
+        if all(d.dtype == DiscreteDist.dtype for d in dists):
+            self.dtype = DiscreteDist.dtype
+        else:
+            self.dtype = ProbDist.dtype
+
+    def logpdf(self, x):
+        return sum(d.logpdf(x[..., i]) for i, d in enumerate(self.dists))
+
+    def rvs(self, key, size=None):
+        keys = jax.random.split(key, self.dim)
+        return jnp.stack(
+            [d.rvs(k, size=size) for d, k in zip(self.dists, keys)], axis=-1
+        )
+
+    def ppf(self, u):
+        return jnp.stack(
+            [d.ppf(u[..., i]) for i, d in enumerate(self.dists)], axis=-1
+        )
+
+
+def IID(law, k):
+    """Joint distribution of k IID variables (reference distributions.py:1111-1127)."""
+    return IndepProd(*[law for _ in range(k)])
+
+
+# ---------------------------------------------------------------------------
+# structured distributions (priors over named parameters)
+# ---------------------------------------------------------------------------
+
+class Cond(ProbDist):
+    """Conditional distribution: wraps ``law(x) -> ProbDist``
+    (reference distributions.py:1130-1146)."""
+
+    _static_fields = ("law",)
+
+    def __init__(self, law, dim=1, dtype="float32"):
+        self.law = law
+        self.dim = dim
+        self.dtype = dtype
+
+    def __call__(self, x):
+        return self.law(x)
+
+
+class StructDist(ProbDist):
+    """Distribution over dict-of-arrays particles ("structured" particles).
+
+    TPU counterpart of the reference StructDist (distributions.py:1149-1217):
+    the reference uses numpy record arrays; here ``rvs`` returns an
+    ``OrderedDict`` mapping field name to an (N,) or (N, dim) array, and
+    ``logpdf`` takes such a dict.  Chain-rule decompositions use :class:`Cond`
+    exactly as in the reference; plain dicts are ordered by sorted key.
+    """
+
+    _static_fields = ("laws",)
+
+    def __init__(self, laws):
+        if isinstance(laws, OrderedDict):
+            self.laws = laws
+        elif isinstance(laws, dict):
+            self.laws = OrderedDict((k, laws[k]) for k in sorted(laws))
+        else:
+            raise TypeError("StructDist requires a dict or OrderedDict")
+
+    @property
+    def dim(self):
+        return sum(law.dim for law in self.laws.values())
+
+    def logpdf(self, theta):
+        lp = 0.0
+        for par, law in self.laws.items():
+            cond_law = law(theta) if callable(law) else law
+            lp = lp + cond_law.logpdf(theta[par])
+        return lp
+
+    def rvs(self, key, size=1):
+        out = OrderedDict()
+        keys = jax.random.split(key, len(self.laws))
+        for k, (par, law) in zip(keys, self.laws.items()):
+            cond_law = law(out) if callable(law) else law
+            out[par] = cond_law.rvs(k, size=size)
+        return out
