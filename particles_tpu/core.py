@@ -1,0 +1,614 @@
+"""Feynman-Kac models and the SMC engine, TPU-native.
+
+Counterpart of the reference ``core.py`` (nchopin/particles): the same two
+central objects — the :class:`FeynmanKac` abstraction (core.py:108-197) and
+the :class:`SMC` driver (core.py:200-409) — re-architected for XLA:
+
+* **Time loop = ``lax.scan``.** For models with a static horizon ``T`` (all
+  particle filters), ``SMC.run()`` compiles the whole filter into a single
+  scan with fused per-step work; summaries and history are scan outputs, not
+  Python-list mutation.
+* **Step 0 is concrete.** The engine always calls ``M0``/``logG(0, None, x)``
+  with a *Python* ``t=0`` outside the scan, so reference-style ``if t == 0``
+  branches in user models keep working; inside the scan ``t`` is traced and
+  always >= 1.
+* **Adaptive resampling without branches.** The resample-or-not decision
+  (reference core.py:326-337) is a masked select: ancestors are
+  ``where(rs_flag, A_resampled, arange)``, weights are
+  ``where(rs_flag, reset_lw, lw)`` — both sides cost one gather, which is
+  HBM-bandwidth-bound and cheap relative to ``M``/``logG``.
+* **Dynamic-horizon algorithms** (adaptive tempering, nested sampling — any
+  subclass overriding ``done``) run step-by-step: each step is the same
+  jitted kernel, the Python loop only syncs the termination scalar.
+* **Explicit PRNG**: the engine owns a key; model methods receive
+  per-step subkeys (``M0(key, N)``, ``M(key, t, xp)``).
+
+``multiSMC`` (reference core.py:431-518) replaces the joblib process pool
+(utils.py:158-186) with a ``vmap`` over run keys — many independent filters
+batched on one chip — crossed with the reference's cartesian option grid.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from particles_tpu import collectors
+from particles_tpu import resampling as rs
+from particles_tpu import utils
+from particles_tpu.utils.struct import Pytree
+
+__all__ = ["FeynmanKac", "SMC", "multiSMC", "SMCResult"]
+
+
+err_msg_missing_trans = """
+    Feynman-Kac class %s is missing method logpt, which provides the log-pdf
+    of Markov transition X_t | X_{t-1}. This is required by most smoothing
+    algorithms."""
+
+
+class FeynmanKac(Pytree):
+    """Abstract base class for Feynman-Kac models (reference core.py:108-197).
+
+    Necessary methods:
+
+    * ``M0(self, key, N)``: sample N initial particles
+    * ``M(self, key, t, xp)``: sample X_t given ancestors xp (t >= 1; ``t``
+      may be a traced scalar)
+    * ``logG(self, t, xp, x)``: potential function log G_t; called once with
+      concrete ``t=0`` and ``xp=None``, then with traced ``t >= 1``
+
+    Optional: ``Gamma0(u)`` / ``Gamma(t, xp, u)`` (deterministic pushforwards
+    of uniforms, for SQMC), ``logpt(t, xp, x)`` (transition density, for
+    smoothing), ``logeta(t, x)`` (auxiliary function — defining it makes the
+    model an APF, reference core.py:172-175), ``done``, ``time_to_resample``,
+    ``default_moments``, ``summary_format``.
+    """
+
+    # horizon; subclasses with data override (static under jit)
+    T = 0
+    du = 0
+
+    def M0(self, key, N):
+        raise NotImplementedError(self._error_msg("M0"))
+
+    def M(self, key, t, xp):
+        raise NotImplementedError(self._error_msg("M"))
+
+    def logG(self, t, xp, x):
+        raise NotImplementedError(self._error_msg("logG"))
+
+    def Gamma0(self, u):
+        raise NotImplementedError(self._error_msg("Gamma0"))
+
+    def Gamma(self, t, xp, u):
+        raise NotImplementedError(self._error_msg("Gamma"))
+
+    def logpt(self, t, xp, x):
+        raise NotImplementedError(err_msg_missing_trans % self.__class__.__name__)
+
+    def _error_msg(self, method):
+        return f"method/property {method} missing in class {self.__class__.__name__}"
+
+    @property
+    def isAPF(self):
+        """True if the model defines an auxiliary function ``logeta``
+        (reference core.py:172-175).  Deliberately *not* a base-class
+        attribute: a ``logeta = None`` default would shadow mixin-provided
+        methods in the MRO of ``AuxiliaryBootstrap(Bootstrap, APFMixin)``.
+        """
+        return callable(getattr(self, "logeta", None))
+
+    def done(self, smc):
+        """Time to stop? Called host-side (reference core.py:177-179).
+
+        Subclasses overriding this are treated as dynamic-horizon models and
+        executed step-by-step instead of via one big scan.
+        """
+        return smc.t >= self.T
+
+    def time_to_resample(self, smc):
+        """Resample or not; may return a traced bool (core.py:181-183)."""
+        return smc.aux.ESS < smc.N * smc.ESSrmin
+
+    def default_moments(self, W, X):
+        """Default moments collected by the Moments collector (core.py:185-187)."""
+        if isinstance(X, dict):
+            return rs.wmean_and_var_str_array(W, X)
+        return rs.wmean_and_var(W, X)
+
+    def summary_format(self, smc):
+        return f"t={smc.t}: resample={smc.rs_flag}, ESS (end of iter)={smc.wgts.ESS}"
+
+
+class StepView(NamedTuple):
+    """What collectors and ``time_to_resample`` see at each step.
+
+    Field names mirror the reference ``SMC`` attributes that collectors read
+    (reference collectors.py passim).
+    """
+
+    fk: Any
+    t: Any
+    X: Any
+    Xp: Any
+    A: Any
+    wgts: Any
+    aux: Any
+    rs_flag: Any
+    logLt: Any
+    loglt: Any
+    N: int
+    ESSrmin: float
+
+    @property
+    def W(self):
+        return self.wgts.W
+
+
+class _Carry(NamedTuple):
+    """Scan carry of the SMC loop: the minimal evolving state."""
+
+    key: Any
+    X: Any
+    lw: Any
+    logLt: Any
+    log_mean_w: Any
+
+
+def _gather(X, A):
+    """Select ancestors: works for array or (nested) pytree particles."""
+    return jax.tree_util.tree_map(lambda leaf: jnp.take(leaf, A, axis=0), X)
+
+
+def _step0(fk, key, N, qmc, summaries, ESSrmin):
+    """Initial step, with concrete t=0 (outside any scan)."""
+    k0, knext = jax.random.split(key)
+    if qmc:
+        from particles_tpu import rqmc
+
+        u = rqmc.sobol(k0, N, max(fk.du, 1))
+        X = fk.Gamma0(u if fk.du > 1 else u[:, 0])
+    else:
+        X = fk.M0(k0, N)
+    lw = fk.logG(0, None, X)
+    wgts = rs.Weights(lw)
+    loglt = wgts.log_mean
+    logLt = loglt
+    A = jnp.arange(N, dtype=jnp.int32)
+    view = StepView(
+        fk=fk,
+        t=jnp.int32(0),
+        X=X,
+        Xp=X,
+        A=A,
+        wgts=wgts,
+        aux=wgts,
+        rs_flag=jnp.asarray(False),
+        logLt=logLt,
+        loglt=loglt,
+        N=N,
+        ESSrmin=ESSrmin,
+    )
+    outs = summaries.collect_step(view) if summaries is not None else ()
+    carry = _Carry(key=knext, X=X, lw=lw, logLt=logLt, log_mean_w=wgts.log_mean)
+    return carry, view, outs
+
+
+def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries):
+    """One SMC step for (possibly traced) t >= 1 (reference core.py:369-383).
+
+    Adaptive resampling is a masked select; requires the particle count to be
+    constant across steps (true for all filters; waste-free samplers use the
+    always-resample path).
+    """
+    key, k_rs, k_m = jax.random.split(carry.key, 3)
+    X, lw = carry.X, carry.lw
+    wgts = rs.Weights(lw)
+
+    # auxiliary weights (APF only; reference core.py:307-313)
+    if fk.isAPF:
+        logetat = fk.logeta(t - 1, X)
+        aux = wgts.add(logetat)
+    else:
+        aux = wgts
+
+    pre_view = StepView(
+        fk=fk, t=t, X=X, Xp=X, A=None, wgts=wgts, aux=aux,
+        rs_flag=None, logLt=carry.logLt, loglt=None, N=N, ESSrmin=ESSrmin,
+    )
+    rs_flag = fk.time_to_resample(pre_view)
+
+    A_res = rs.resampling(resampling_scheme, k_rs, aux.W, M=N)
+    A = jnp.where(rs_flag, A_res, jnp.arange(N, dtype=jnp.int32))
+    Xp = _gather(X, A)
+    if fk.isAPF:
+        # reference core.py:299-305: resampled APF weights
+        reset_lw = rs.log_mean_exp(logetat, W=wgts.W) - jnp.take(logetat, A)
+    else:
+        reset_lw = jnp.zeros(N, dtype=lw.dtype)
+    lw = jnp.where(rs_flag, reset_lw, lw)
+
+    X_new = fk.M(k_m, t, Xp)
+    lw_new = lw + fk.logG(t, Xp, X_new)
+    new_wgts = rs.Weights(lw_new)
+
+    # logLt accounting (reference core.py:351-359)
+    loglt = jnp.where(
+        rs_flag, new_wgts.log_mean, new_wgts.log_mean - carry.log_mean_w
+    )
+    logLt = carry.logLt + loglt
+
+    view = StepView(
+        fk=fk, t=t, X=X_new, Xp=Xp, A=A, wgts=new_wgts, aux=aux,
+        rs_flag=rs_flag, logLt=logLt, loglt=loglt, N=N, ESSrmin=ESSrmin,
+    )
+    outs = summaries.collect_step(view) if summaries is not None else ()
+    carry = _Carry(
+        key=key, X=X_new, lw=lw_new, logLt=logLt, log_mean_w=new_wgts.log_mean
+    )
+    return carry, view, outs
+
+
+def _history_out(view, store_history):
+    if not store_history:
+        return ()
+    return (view.X, view.A, view.wgts.lw)
+
+
+def _run_full(fk, key, N, T, qmc, resampling_scheme, ESSrmin, summaries,
+              store_history):
+    """The whole filter as step0 + one lax.scan (jit this)."""
+    carry, view0, outs0 = _step0(fk, key, N, qmc, summaries, ESSrmin)
+    hist0 = _history_out(view0, store_history)
+
+    def body(carry, t):
+        carry, view, outs = _step(
+            fk, carry, t, N, resampling_scheme, ESSrmin, summaries
+        )
+        return carry, (outs, _history_out(view, store_history))
+
+    ts = jnp.arange(1, T, dtype=jnp.int32)
+    carry, (outs_rest, hist_rest) = jax.lax.scan(body, carry, ts)
+
+    # prepend step-0 outputs to the stacked scan outputs
+    all_outs = jax.tree_util.tree_map(
+        lambda o0, orest: jnp.concatenate([o0[None], orest], axis=0),
+        outs0,
+        outs_rest,
+    )
+    all_hist = jax.tree_util.tree_map(
+        lambda h0, hrest: jnp.concatenate([h0[None], hrest], axis=0),
+        hist0,
+        hist_rest,
+    )
+    return carry, all_outs, all_hist
+
+
+class ParticleHistory:
+    """Stacked particle history: ``X`` (T, N, ...), ``A`` (T, N), ``lw`` (T, N).
+
+    Minimal scan-native stand-in for the reference ``ParticleHistory``
+    (smoothing.py:222-254); the smoothing module builds on it.
+    """
+
+    def __init__(self, X, A, lw):
+        self.X = X
+        self.A = A
+        self.lw = lw
+
+    @property
+    def T(self):
+        return self.A.shape[0]
+
+    @property
+    def N(self):
+        return self.A.shape[1]
+
+    @property
+    def wgts(self):
+        return rs.Weights(self.lw[-1])
+
+
+class SMC:
+    """Particle filter / SMC algorithm driver (reference core.py:200-409).
+
+    Same public surface as the reference::
+
+        pf = SMC(fk=ssms.Bootstrap(ssm=model, data=y), N=1000)
+        pf.run()
+        pf.logLt, pf.summaries.ESSs, pf.X, pf.W
+
+    plus the iterator protocol (``next(pf)`` advances one step).  Extra
+    keyword ``key`` (or ``seed``) makes randomness explicit.
+
+    Execution strategy: if the model's ``done`` is the default horizon test,
+    ``run()`` compiles the whole loop into one ``lax.scan``; otherwise it
+    iterates a jitted single step under host control.
+    """
+
+    def __init__(
+        self,
+        fk=None,
+        N=100,
+        key=None,
+        seed=0,
+        qmc=False,
+        resampling="systematic",
+        ESSrmin=0.5,
+        store_history=False,
+        verbose=False,
+        collect=None,
+    ):
+        self.fk = fk
+        self.N = N
+        self.qmc = qmc
+        self.resampling = resampling
+        self.ESSrmin = ESSrmin
+        self.verbose = verbose
+        self.key = key if key is not None else jax.random.key(seed)
+
+        self.t = 0
+        self.rs_flag = False
+        self.logLt = 0.0
+        self.wgts = rs.Weights()
+        self.aux = None
+        self.X, self.Xp, self.A = None, None, None
+        self.loglt = None
+
+        if collect == "off":
+            self.summaries = None
+        else:
+            self.summaries = collectors.Summaries(collect)
+        self.store_history = store_history
+        self.hist = None
+        self._carry = None
+
+    def __str__(self):
+        return self.fk.summary_format(self)
+
+    @property
+    def W(self):
+        return self.wgts.W
+
+    # ------------------------------------------------------------------
+    # step-by-step execution (iterator protocol)
+    # ------------------------------------------------------------------
+
+    def _install_view(self, view, carry):
+        self._carry = carry
+        self.X = view.X
+        self.Xp = view.Xp
+        self.A = view.A
+        self.wgts = view.wgts
+        self.aux = view.aux
+        self.rs_flag = view.rs_flag
+        self.logLt = view.logLt
+        self.loglt = view.loglt
+        if self.store_history:
+            self._hist_frames.append(_history_out(view, True))
+
+    def __next__(self):
+        if self.fk.done(self):
+            if self.summaries is not None:
+                self.summaries.finalize_lists()
+            self._finalize_history()
+            raise StopIteration
+        if self.t == 0:
+            self._hist_frames = []
+            carry, view, outs = _step0(
+                self.fk, self.key, self.N, self.qmc, self.summaries, self.ESSrmin
+            )
+        else:
+            if not hasattr(self, "_jit_step"):
+                self._jit_step = jax.jit(
+                    lambda fk, carry, t: _step(
+                        fk, carry, t, self.N, self.resampling, self.ESSrmin,
+                        self.summaries,
+                    ),
+                )
+            carry, view, outs = self._jit_step(
+                self.fk, self._carry, jnp.int32(self.t)
+            )
+        self._install_view(view, carry)
+        if self.summaries is not None:
+            self.summaries.append_step(outs)
+        if self.verbose:
+            print(self)
+        self.t += 1
+
+    def next(self):
+        return self.__next__()
+
+    def __iter__(self):
+        return self
+
+    def _finalize_history(self):
+        if self.store_history and getattr(self, "_hist_frames", None):
+            stacked = jax.tree_util.tree_map(
+                lambda *frames: jnp.stack(frames), *self._hist_frames
+            )
+            self.hist = ParticleHistory(*stacked)
+
+    # ------------------------------------------------------------------
+    # compiled whole-horizon execution
+    # ------------------------------------------------------------------
+
+    @property
+    def _static_horizon(self):
+        """True if fk uses the default horizon-based ``done``."""
+        return type(self.fk).done is FeynmanKac.done and self.t == 0
+
+    @utils.timer
+    def run(self):
+        """Run the algorithm to completion (reference core.py:391-409)."""
+        if not self._static_horizon:
+            for _ in self:
+                pass
+            return
+        T = int(self.fk.T)
+        runner = _get_compiled_runner(
+            type(self.fk),
+            self.N,
+            T,
+            self.qmc,
+            self.resampling,
+            self.ESSrmin,
+            self.summaries,
+            self.store_history,
+        )
+        carry, outs, hist = runner(self.fk, self.key)
+        wgts = rs.Weights(carry.lw)
+        self.X = carry.X
+        self.wgts = wgts
+        self.logLt = carry.logLt
+        self.t = T
+        if self.summaries is not None:
+            self.summaries.assign_stacked(outs)
+            self.rs_flag = self.summaries.rs_flags[-1]
+        if self.store_history:
+            self.hist = ParticleHistory(*hist)
+
+
+_runner_cache = {}
+
+
+def _hashable(v):
+    try:
+        hash(v)
+        return v
+    except TypeError:
+        return id(v)
+
+
+def _summaries_signature(summaries):
+    """Hashable description of a Summaries config (for the jit cache)."""
+    if summaries is None:
+        return None
+    return tuple(
+        (type(c), tuple(sorted((k, _hashable(v)) for k, v in c.__dict__.items())))
+        for c in summaries._collectors
+    )
+
+
+def _get_compiled_runner(fk_cls, N, T, qmc, resampling_scheme, ESSrmin,
+                         summaries, store_history):
+    """Cache jitted whole-run functions per static configuration.
+
+    ``summaries`` is closed over (its collectors are pure config); the cache
+    key includes its structural signature so differently-configured
+    collectors do not collide.
+    """
+    cache_key = (fk_cls, N, T, qmc, resampling_scheme, ESSrmin,
+                 _summaries_signature(summaries), store_history)
+    if cache_key not in _runner_cache:
+
+        def run(fk, key):
+            return _run_full(
+                fk, key, N, T, qmc, resampling_scheme, ESSrmin,
+                summaries, store_history,
+            )
+
+        _runner_cache[cache_key] = jax.jit(run)
+    return _runner_cache[cache_key]
+
+
+class SMCResult:
+    """Light-weight result of one run inside ``multiSMC`` (host-side)."""
+
+    def __init__(self, logLt, summaries_dict, X=None, lw=None):
+        self.logLt = logLt
+        self.X = X
+        self.lw = lw
+        for name, val in summaries_dict.items():
+            setattr(self, name, val)
+        self.summaries = self
+
+    @property
+    def wgts(self):
+        return rs.Weights(self.lw) if self.lw is not None else None
+
+    @property
+    def W(self):
+        return None if self.lw is None else rs.exp_and_normalise(self.lw)
+
+
+def multiSMC(
+    fk=None,
+    N=100,
+    qmc=False,
+    resampling="systematic",
+    ESSrmin=0.5,
+    nruns=10,
+    nprocs=0,
+    collect=None,
+    key=None,
+    out_func=None,
+    **args,
+):
+    """Run many independent SMC algorithms, batched on device.
+
+    Reference parity (core.py:431-518): ``nruns`` independent replicates,
+    crossed with a cartesian product over any keyword argument given as a
+    list (e.g. ``resampling=['multinomial', 'systematic']``) or as a dict of
+    name -> value (e.g. ``fk={'boot': fk_b, 'guided': fk_g}``).  Returns a
+    list of dicts with the varying option values, ``'run'`` index and
+    ``'output'`` (an :class:`SMCResult`).
+
+    TPU-native execution: the ``nruns`` replicates of each option combo are
+    *vmapped over PRNG keys* and run as one compiled program — the reference's
+    joblib process pool (utils.py:158-202) and its seeding discipline are
+    replaced by ``jax.random.split``.  ``nprocs`` is accepted for API
+    compatibility and ignored.
+    """
+    del nprocs
+    base_args = dict(
+        fk=fk, N=N, qmc=qmc, resampling=resampling, ESSrmin=ESSrmin
+    )
+    base_args.update(args)
+    varying_keys = [
+        k for k, v in base_args.items() if isinstance(v, (list, dict))
+    ]
+    labels_list, values_list = utils.cartesian_args(base_args)
+
+    key = key if key is not None else jax.random.key(0)
+    keys = jax.random.split(key, nruns)
+
+    results = []
+    for labels, values in zip(labels_list, values_list):
+        fk_v = values.pop("fk")
+        N_v = values.pop("N")
+        qmc_v = values.pop("qmc")
+        scheme_v = values.pop("resampling")
+        essrmin_v = values.pop("ESSrmin")
+        summaries = collectors.Summaries(collect) if collect != "off" else None
+        T = int(fk_v.T)
+
+        def single(fk_obj, k):
+            carry, outs, _ = _run_full(
+                fk_obj, k, N_v, T, qmc_v, scheme_v, essrmin_v, summaries, False
+            )
+            return carry.logLt, outs, carry.lw
+
+        logLts, outs, lws = jax.jit(jax.vmap(single, in_axes=(None, 0)))(
+            fk_v, keys
+        )
+        names = (
+            [c.summary_name for c in summaries._collectors]
+            if summaries is not None
+            else []
+        )
+        for r in range(nruns):
+            sm = {
+                name: jax.tree_util.tree_map(lambda o: o[r], out)
+                for name, out in zip(names, outs)
+            }
+            res = SMCResult(logLts[r], sm, lw=lws[r])
+            out_obj = res if out_func is None else out_func(res)
+            entry = {k: labels[k] for k in varying_keys}
+            entry["run"] = r
+            entry["output"] = out_obj
+            results.append(entry)
+    return results

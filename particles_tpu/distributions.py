@@ -822,17 +822,17 @@ class MvNormal(ProbDist):
     def logpdf(self, x):
         halflogdetcor = jnp.sum(jnp.log(jnp.diag(self.L)))
         scale = jnp.asarray(self.scale)
-        xc = (x - self.loc) / scale
-        z = jax.scipy.linalg.solve_triangular(
-            self.L, jnp.swapaxes(jnp.atleast_2d(xc), -1, -2), lower=True
-        )
+        xc = (x - self.loc) / scale  # broadcast: batch shape from x AND loc
+        was_1d = xc.ndim == 1
+        xc2 = jnp.atleast_2d(xc)
+        z = jax.scipy.linalg.solve_triangular(self.L, xc2.T, lower=True)
         if scale.ndim == 0:
             logdet = self.dim * jnp.log(scale)
         else:
             logdet = jnp.sum(jnp.log(scale), axis=-1)
         logdet = logdet + halflogdetcor
-        out = -0.5 * jnp.sum(z * z, axis=-2) - logdet - self.dim * HALFLOG2PI
-        return out.reshape(jnp.shape(x)[:-1])
+        out = -0.5 * jnp.sum(z * z, axis=0) - logdet - self.dim * HALFLOG2PI
+        return out[0] if was_1d else out
 
     def rvs(self, key, size=None):
         if size is None:

@@ -1,0 +1,79 @@
+"""Utilities: timing, experiment multiplexing, pytree plumbing.
+
+Counterpart of reference ``utils.py`` (timer decorator utils.py:81-89,
+multiplexer utils.py:216-269, distinct_seeds utils.py:189-202).  On TPU the
+multi-run parallelism story changes completely: instead of joblib process
+pools with stratified seeds, runs are vmapped over ``jax.random.split`` keys
+(embarrassingly parallel on-device) — see :func:`particles_tpu.core.multiSMC`.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+import time
+
+import jax
+
+from particles_tpu.utils.struct import KwPytree, Pytree  # noqa: F401
+
+__all__ = ["timer", "cartesian_args", "add_to_dict", "Pytree", "KwPytree"]
+
+
+def timer(method):
+    """Decorator: store wall-clock time of ``method`` in ``self.cpu_time``.
+
+    Parity with reference ``utils.timer`` (utils.py:81-89).  Blocks on the
+    result so asynchronous dispatch does not hide device time.
+    """
+
+    @functools.wraps(method)
+    def timed_method(self, **kwargs):
+        starting_time = time.perf_counter()
+        out = method(self, **kwargs)
+        jax.block_until_ready(out if out is not None
+                              else getattr(self, "logLt", None))
+        self.cpu_time = time.perf_counter() - starting_time
+        return out
+
+    return timed_method
+
+
+def add_to_dict(d, obj, key="output"):
+    """Return a copy of dict ``d`` with ``obj`` stored under ``key``
+    (reference utils.py:205-208)."""
+    d = dict(d)
+    d[key] = obj
+    return d
+
+
+def cartesian_args(args):
+    """Expand dict/list-valued options into a list of flat option dicts.
+
+    Mirrors the cartesian-product behaviour of the reference ``multiplexer``
+    (utils.py:216-269): a value that is a list produces one run per element;
+    a value that is a dict produces one run per (name, value) pair, with the
+    *name* recorded in the output dict (so models can be labelled).
+    Scalar values are broadcast.
+    """
+    fixed, varying = {}, {}
+    for k, v in args.items():
+        if isinstance(v, list):
+            varying[k] = [(val, val) for val in v]
+        elif isinstance(v, dict):
+            varying[k] = [(name, val) for name, val in v.items()]
+        else:
+            fixed[k] = v
+    if not varying:
+        return [dict(fixed)], [dict(fixed)]
+    names = list(varying)
+    labels_list, values_list = [], []
+    for combo in itertools.product(*(varying[k] for k in names)):
+        labels = dict(fixed)
+        values = dict(fixed)
+        for k, (label, val) in zip(names, combo):
+            labels[k] = label
+            values[k] = val
+        labels_list.append(labels)
+        values_list.append(values)
+    return labels_list, values_list
