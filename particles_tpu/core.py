@@ -163,7 +163,7 @@ def _gather(X, A):
     return jax.tree_util.tree_map(lambda leaf: jnp.take(leaf, A, axis=0), X)
 
 
-def _step0(fk, key, N, qmc, summaries, ESSrmin):
+def _step0(fk, key, N, qmc, summaries, ESSrmin, constrain=None):
     """Initial step, with concrete t=0 (outside any scan)."""
     k0, knext = jax.random.split(key)
     if qmc:
@@ -174,6 +174,8 @@ def _step0(fk, key, N, qmc, summaries, ESSrmin):
     else:
         X = fk.M0(k0, N)
     lw = fk.logG(0, None, X)
+    if constrain is not None:
+        X, lw = constrain(X, lw)
     wgts = rs.Weights(lw)
     loglt = wgts.log_mean
     logLt = loglt
@@ -197,11 +199,29 @@ def _step0(fk, key, N, qmc, summaries, ESSrmin):
     return carry, view, outs
 
 
-def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries):
+def _repeat(X, counts, M):
+    """Resampling move for sorted-ancestor schemes: X[A] = repeat-by-counts.
+
+    `jnp.repeat(x, counts, total_repeat_length)` is ~10x faster than a
+    random-index gather on TPU (see the performance note in
+    particles_tpu.resampling).
+    """
+    return jax.tree_util.tree_map(
+        lambda leaf: jnp.repeat(leaf, counts, axis=0, total_repeat_length=M),
+        X,
+    )
+
+
+def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
+          constrain=None):
     """One SMC step for (possibly traced) t >= 1 (reference core.py:369-383).
 
-    Adaptive resampling is a masked select; requires the particle count to be
-    constant across steps (true for all filters; waste-free samplers use the
+    The resample-or-not decision (reference core.py:326-337) is a
+    ``lax.cond``: non-resampling steps skip the resampling work entirely.
+    Sorted-ancestor schemes (systematic/stratified/multinomial/ssp/residual)
+    go through the offspring-counts fast path; others (killing) fall back to
+    an ancestor gather.  Requires the particle count to be constant across
+    steps (true for all filters; waste-free samplers use the
     always-resample path).
     """
     key, k_rs, k_m = jax.random.split(carry.key, 3)
@@ -213,6 +233,7 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries):
         logetat = fk.logeta(t - 1, X)
         aux = wgts.add(logetat)
     else:
+        logetat = None
         aux = wgts
 
     pre_view = StepView(
@@ -221,18 +242,39 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries):
     )
     rs_flag = fk.time_to_resample(pre_view)
 
-    A_res = rs.resampling(resampling_scheme, k_rs, aux.W, M=N)
-    A = jnp.where(rs_flag, A_res, jnp.arange(N, dtype=jnp.int32))
-    Xp = _gather(X, A)
-    if fk.isAPF:
-        # reference core.py:299-305: resampled APF weights
-        reset_lw = rs.log_mean_exp(logetat, W=wgts.W) - jnp.take(logetat, A)
-    else:
-        reset_lw = jnp.zeros(N, dtype=lw.dtype)
-    lw = jnp.where(rs_flag, reset_lw, lw)
+    use_counts = resampling_scheme in rs.rs_counts_funcs
+
+    def do_resample(X, lw):
+        if use_counts:
+            counts = rs.resampling_counts(resampling_scheme, k_rs, aux.W, M=N)
+            A = rs.counts_to_ancestors(counts, N)
+            Xp = _repeat(X, counts, N)
+            if fk.isAPF:
+                reset_lw = rs.log_mean_exp(logetat, W=wgts.W) - jnp.repeat(
+                    logetat, counts, total_repeat_length=N
+                )
+            else:
+                reset_lw = jnp.zeros(N, dtype=lw.dtype)
+        else:
+            A = rs.resampling(resampling_scheme, k_rs, aux.W, M=N)
+            Xp = _gather(X, A)
+            if fk.isAPF:
+                reset_lw = rs.log_mean_exp(logetat, W=wgts.W) - jnp.take(
+                    logetat, A
+                )
+            else:
+                reset_lw = jnp.zeros(N, dtype=lw.dtype)
+        return Xp, reset_lw, A
+
+    def no_resample(X, lw):
+        return X, lw, jnp.arange(N, dtype=jnp.int32)
+
+    Xp, lw, A = jax.lax.cond(rs_flag, do_resample, no_resample, X, lw)
 
     X_new = fk.M(k_m, t, Xp)
     lw_new = lw + fk.logG(t, Xp, X_new)
+    if constrain is not None:
+        X_new, lw_new = constrain(X_new, lw_new)
     new_wgts = rs.Weights(lw_new)
 
     # logLt accounting (reference core.py:351-359)
@@ -259,14 +301,15 @@ def _history_out(view, store_history):
 
 
 def _run_full(fk, key, N, T, qmc, resampling_scheme, ESSrmin, summaries,
-              store_history):
+              store_history, constrain=None):
     """The whole filter as step0 + one lax.scan (jit this)."""
-    carry, view0, outs0 = _step0(fk, key, N, qmc, summaries, ESSrmin)
+    carry, view0, outs0 = _step0(fk, key, N, qmc, summaries, ESSrmin,
+                                 constrain)
     hist0 = _history_out(view0, store_history)
 
     def body(carry, t):
         carry, view, outs = _step(
-            fk, carry, t, N, resampling_scheme, ESSrmin, summaries
+            fk, carry, t, N, resampling_scheme, ESSrmin, summaries, constrain
         )
         return carry, (outs, _history_out(view, store_history))
 

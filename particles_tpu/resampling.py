@@ -289,8 +289,13 @@ def uniform_spacings(key, N):
 
 @resampling_scheme
 def multinomial(key, W, M):
-    """Multinomial resampling (sorted output) — resampling.py:540-558."""
-    return inverse_cdf(uniform_spacings(key, M), W)
+    """Multinomial resampling (sorted output) — resampling.py:540-558.
+
+    Computed via offspring counts + repeat (see the TPU performance note at
+    the counts registry below); identical in distribution to
+    ``inverse_cdf(uniform_spacings(key, M), W)``.
+    """
+    return counts_to_ancestors(multinomial_counts(key, W, M), M)
 
 
 def multinomial_iid(key, W, M=None):
@@ -316,16 +321,14 @@ def multinomial_once(key, W):
 
 @resampling_scheme
 def stratified(key, W, M):
-    """Stratified resampling (resampling.py:599-603)."""
-    su = (jax.random.uniform(key, (M,)) + jnp.arange(M)) / M
-    return inverse_cdf(su, W)
+    """Stratified resampling (resampling.py:599-603), via offspring counts."""
+    return counts_to_ancestors(stratified_counts(key, W, M), M)
 
 
 @resampling_scheme
 def systematic(key, W, M):
-    """Systematic resampling (resampling.py:606-610)."""
-    su = (jax.random.uniform(key, ()) + jnp.arange(M)) / M
-    return inverse_cdf(su, W)
+    """Systematic resampling (resampling.py:606-610), via offspring counts."""
+    return counts_to_ancestors(systematic_counts(key, W, M), M)
 
 
 @resampling_scheme
@@ -361,58 +364,12 @@ def ssp(key, W, M):
     (resampling.py:630-677; Gerber, Chopin & Whiteley 2019): number of
     offspring of particle n is floor(M W_n) or floor(M W_n)+1, and the scheme
     is negatively associated.  The pairwise randomised-rounding recursion is
-    inherently sequential, expressed here as a ``lax.scan`` over N-1 steps
-    with branchless index updates.  The reference's round-off fix-up (add the
-    almost-integer survivor when one offspring is missing) is applied at the
-    end; where the reference raises on a residual mismatch, we deterministically
-    assign the remaining slot (cannot raise under jit).
+    inherently sequential; see :func:`ssp_counts` for the lax.scan
+    formulation.  Where the reference raises on a round-off residual
+    mismatch, we deterministically assign the remaining slot (cannot raise
+    under jit).
     """
-    N = W.shape[0]
-    MW = M * W
-    nr0 = jnp.floor(MW)
-    xi0 = MW - nr0
-    u = jax.random.uniform(key, (N - 1,))
-
-    def body(carry, ku):
-        i, j, xi, nr = carry
-        k, uk = ku
-        xi_i = xi[i]
-        xi_j = xi[j]
-        delta_i = jnp.minimum(xi_j, 1.0 - xi_i)  # increase xi[i], decrease xi[j]
-        delta_j = jnp.minimum(xi_i, 1.0 - xi_j)
-        sum_delta = delta_i + delta_j
-        pj = jnp.where(sum_delta > 0.0, delta_i / sum_delta, 0.0)
-        swap = uk < pj
-        i, j = jnp.where(swap, j, i), jnp.where(swap, i, j)
-        delta = jnp.where(swap, delta_j, delta_i)
-        xi_i = xi[i]
-        xi_j = xi[j]
-        grow = xi_j < 1.0 - xi_i  # xi[i] absorbs delta, j retires
-        xi = xi.at[i].add(jnp.where(grow, delta, 0.0))
-        xi = xi.at[j].add(jnp.where(grow, 0.0, -delta))
-        nr = nr.at[i].add(jnp.where(grow, 0.0, 1.0))
-        # retired index becomes k+2; equals N (sentinel) only after the final
-        # step, and in-loop gathers always use indices < N.
-        nxt = k + 2
-        i_new = jnp.where(grow, i, nxt)
-        j_new = jnp.where(grow, nxt, j)
-        return (i_new, j_new, xi, nr), None
-
-    ks = jnp.arange(N - 1, dtype=jnp.int32)
-    (i, j, xi, nr), _ = jax.lax.scan(
-        body, (jnp.int32(0), jnp.int32(1), xi0, nr0), (ks, u)
-    )
-    # round-off fix-up (reference resampling.py:669-676)
-    last_ij = jnp.where(j == N, i, j)
-    missing = jnp.sum(nr) < M - 0.5
-    nr = nr.at[last_ij].add(jnp.where(missing & (xi[last_ij] > 0.99), 1.0, 0.0))
-    # deterministic residual correction instead of raising
-    diff = M - jnp.sum(nr)
-    nr = nr.at[last_ij].add(diff)
-    # counts -> ancestor list: A[m] = smallest n with cumsum(nr)[n] > m
-    cs = jnp.cumsum(nr)
-    A = jnp.searchsorted(cs, jnp.arange(M), side="right")
-    return jnp.clip(A, 0, N - 1).astype(jnp.int32)
+    return counts_to_ancestors(ssp_counts(key, W, M), M)
 
 
 @resampling_scheme
@@ -434,6 +391,192 @@ def idiotic(key, W, M):
     """Idiotic resampling — testing only (resampling.py:700-706)."""
     a = multinomial_once(key, W)
     return jnp.full((M,), a, dtype=jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# offspring-count formulations (the TPU fast path)
+# ---------------------------------------------------------------------------
+#
+# TPU performance note (measured on v5e): `jnp.searchsorted` costs ~17 ms and
+# a random-index gather ~27 ms per step at N=1e5 inside a scan, while the
+# arithmetic counts formula + `jnp.repeat(x, counts, total_repeat_length=N)`
+# costs ~2.4 ms.  For every scheme whose ancestor vector is sorted
+# (multinomial/stratified/systematic/ssp/residual), resampling is therefore
+# expressed as *offspring counts*: A = repeat(arange(N), counts), and the
+# particle move X[A] = repeat(X, counts).  The SMC engine consumes these
+# counts directly and never materialises A unless a collector asks for it.
+
+rs_counts_funcs = {}
+
+
+def resampling_counts_scheme(func):
+    """Register the counts-based form of a resampling scheme."""
+    rs_counts_funcs[func.__name__.replace("_counts", "")] = func
+    return func
+
+
+def resampling_counts(scheme, key, W, M=None):
+    """Offspring counts for a sorted-ancestor scheme: (N,) int32 summing to M.
+
+    ``A = jnp.repeat(jnp.arange(N), counts, total_repeat_length=M)`` gives
+    the same ancestors as ``resampling(scheme, ...)`` (sorted).
+    """
+    M = W.shape[0] if M is None else M
+    try:
+        return rs_counts_funcs[scheme](key, W, M)
+    except KeyError:
+        raise ValueError(f"{scheme} has no counts-based (sorted) form")
+
+
+def counts_to_ancestors(counts, M):
+    """A[m] = smallest n with cumsum(counts)[n] > m, via repeat (no search)."""
+    N = counts.shape[0]
+    return jnp.repeat(
+        jnp.arange(N, dtype=jnp.int32), counts, total_repeat_length=M
+    )
+
+
+def _normalised_cumsum(W):
+    cs = jnp.cumsum(W)
+    return cs / cs[-1]
+
+
+@resampling_counts_scheme
+def systematic_counts(key, W, M):
+    """Systematic offspring counts: z_i = #{j: (j+u)/M <= cs_i}
+    = floor(M*cs_i - u) + 1, counts = diff(z).  Pure arithmetic — no search,
+    no gather."""
+    u = jax.random.uniform(key, ())
+    cs = _normalised_cumsum(W)
+    z = jnp.clip(jnp.floor(M * cs - u).astype(jnp.int32) + 1, 0, M)
+    return jnp.diff(z, prepend=jnp.zeros(1, jnp.int32))
+
+
+@resampling_counts_scheme
+def stratified_counts(key, W, M):
+    """Stratified offspring counts: z_i = #{j: (j+u_j)/M <= cs_i}
+    = k_i + 1[u_{k_i} <= frac_i], k_i = floor(M*cs_i).  The u-gather uses
+    sorted indices (cheap on TPU)."""
+    u = jax.random.uniform(key, (M,))
+    cs = _normalised_cumsum(W)
+    g = M * cs
+    k = jnp.floor(g).astype(jnp.int32)
+    frac = g - k
+    uk = jnp.take(u, jnp.clip(k, 0, M - 1))
+    z = jnp.where(k >= M, M, k + (uk <= frac).astype(jnp.int32))
+    z = jnp.clip(z, 0, M)
+    z = z.at[-1].set(M)  # guard rounding at the top
+    z = jax.lax.associative_scan(jnp.maximum, z)  # enforce monotone
+    return jnp.diff(z, prepend=jnp.zeros(1, jnp.int32))
+
+
+def _merge_rank_counts(su, cs, M):
+    """z_i = #{j: su_j <= cs_i} for sorted su, via one lax.sort (no gather).
+
+    ``lax.sort`` carries the origin flags along with the keys, so no random
+    permutation gather is needed; the extraction scatter uses monotone
+    indices.
+    """
+    N = cs.shape[0]
+    both = jnp.concatenate([cs, su])
+    is_cs = jnp.concatenate(
+        [jnp.ones(N, jnp.int32), jnp.zeros(su.shape[0], jnp.int32)]
+    )
+    # sort pairs; for ties su (0) sorts before cs (1) with key2 — matching
+    # the convention su_j <= cs_i counts
+    sorted_key, sorted_iscs = jax.lax.sort((both, is_cs), num_keys=1)
+    n_su_before = jnp.cumsum(1 - sorted_iscs)
+    rank_among_cs = jnp.cumsum(sorted_iscs) - 1
+    target = jnp.where(sorted_iscs == 1, rank_among_cs, N)
+    z = (
+        jnp.zeros(N, jnp.int32)
+        .at[target]
+        .max(n_su_before.astype(jnp.int32), mode="drop")
+    )
+    return jnp.clip(z, 0, M)
+
+
+@resampling_counts_scheme
+def multinomial_counts(key, W, M):
+    """Multinomial offspring counts ~ Multinomial(M, W): sorted uniforms
+    (O(M) spacings construction) merged against cumsum(W) by one sort."""
+    su = uniform_spacings(key, M)
+    cs = _normalised_cumsum(W)
+    z = _merge_rank_counts(su, cs, M)
+    z = z.at[-1].set(M)
+    z = jax.lax.associative_scan(jnp.maximum, z)
+    return jnp.diff(z, prepend=jnp.zeros(1, jnp.int32))
+
+
+@resampling_counts_scheme
+def residual_counts(key, W, M):
+    """Residual offspring counts: floor(M*W) deterministic + multinomial on
+    the residual weights.
+
+    The residual draw count ``sres = M - sum(floor(M W))`` is data-dependent;
+    we exploit the spacings construction — the first k of
+    ``cumsum(E)/cumsum(E)[k]`` are k sorted uniforms for *any* k — to draw a
+    dynamic number of sorted uniforms with static shapes.
+    """
+    N = W.shape[0]
+    MW = M * W
+    intpart = jnp.floor(MW).astype(jnp.int32)
+    sip = jnp.sum(intpart)
+    res = MW - intpart
+    sres = M - sip  # traced
+    z_exp = jnp.cumsum(jax.random.exponential(key, (M + 1,)))
+    denom = jnp.take(z_exp, jnp.clip(sres, 0, M))
+    su = z_exp[:-1] / denom
+    su = jnp.where(jnp.arange(M) < sres, su, 2.0)  # mask: never counted
+    cs = _normalised_cumsum(res / jnp.maximum(jnp.sum(res), 1e-30))
+    zr = _merge_rank_counts(su, cs, M)
+    zr = jnp.minimum(zr, sres)
+    zr = zr.at[-1].set(jnp.clip(sres, 0, M))
+    zr = jax.lax.associative_scan(jnp.maximum, zr)
+    res_counts = jnp.diff(zr, prepend=jnp.zeros(1, jnp.int32))
+    return intpart + res_counts
+
+
+@resampling_counts_scheme
+def ssp_counts(key, W, M):
+    """SSP offspring counts — the scan in :func:`ssp` natively produces
+    counts; see its docstring for the algorithm."""
+    # reuse the ssp machinery up to (and excluding) ancestor expansion
+    N = W.shape[0]
+    A_unused = None
+    del A_unused
+    # inline: run the same scan as ssp()
+    MW = M * W
+    nr0 = jnp.floor(MW)
+    xi0 = MW - nr0
+    u = jax.random.uniform(key, (N - 1,))
+
+    def body(carry, ku):
+        i, j, xi, nr = carry
+        k, uk = ku
+        delta_i = jnp.minimum(xi[j], 1.0 - xi[i])
+        delta_j = jnp.minimum(xi[i], 1.0 - xi[j])
+        sum_delta = delta_i + delta_j
+        pj = jnp.where(sum_delta > 0.0, delta_i / sum_delta, 0.0)
+        swap = uk < pj
+        i, j = jnp.where(swap, j, i), jnp.where(swap, i, j)
+        delta = jnp.where(swap, delta_j, delta_i)
+        grow = xi[j] < 1.0 - xi[i]
+        xi = xi.at[i].add(jnp.where(grow, delta, 0.0))
+        xi = xi.at[j].add(jnp.where(grow, 0.0, -delta))
+        nr = nr.at[i].add(jnp.where(grow, 0.0, 1.0))
+        nxt = k + 2
+        return (jnp.where(grow, i, nxt), jnp.where(grow, nxt, j), xi, nr), None
+
+    ks = jnp.arange(N - 1, dtype=jnp.int32)
+    (i, j, xi, nr), _ = jax.lax.scan(
+        body, (jnp.int32(0), jnp.int32(1), xi0, nr0), (ks, u)
+    )
+    last_ij = jnp.where(j == N, i, j)
+    missing = jnp.sum(nr) < M - 0.5
+    nr = nr.at[last_ij].add(jnp.where(missing & (xi[last_ij] > 0.99), 1.0, 0.0))
+    nr = nr.at[last_ij].add(M - jnp.sum(nr))
+    return nr.astype(jnp.int32)
 
 
 class MultinomialQueue:
