@@ -10,6 +10,29 @@ __version__ = "0.1.0"
 
 _CORE_EXPORTS = ("SMC", "FeynmanKac", "multiSMC")
 
+_SUBMODULES = (
+    "binary_smc",
+    "collectors",
+    "core",
+    "datasets",
+    "distributions",
+    "hilbert",
+    "hmm",
+    "kalman",
+    "mcmc",
+    "nested",
+    "ops",
+    "parallel",
+    "resampling",
+    "rqmc",
+    "smc_samplers",
+    "smoothing",
+    "state_space_models",
+    "utils",
+    "variance_estimators",
+    "variance_mcmc",
+)
+
 
 def __getattr__(name):
     # Lazy: keeps `import particles_tpu.resampling` cheap and avoids import
@@ -18,4 +41,8 @@ def __getattr__(name):
         from particles_tpu import core
 
         return getattr(core, name)
+    if name in _SUBMODULES:
+        import importlib
+
+        return importlib.import_module(f"particles_tpu.{name}")
     raise AttributeError(f"module 'particles_tpu' has no attribute {name!r}")

@@ -330,31 +330,6 @@ def _run_full(fk, key, N, T, qmc, resampling_scheme, ESSrmin, summaries,
     return carry, all_outs, all_hist
 
 
-class ParticleHistory:
-    """Stacked particle history: ``X`` (T, N, ...), ``A`` (T, N), ``lw`` (T, N).
-
-    Minimal scan-native stand-in for the reference ``ParticleHistory``
-    (smoothing.py:222-254); the smoothing module builds on it.
-    """
-
-    def __init__(self, X, A, lw):
-        self.X = X
-        self.A = A
-        self.lw = lw
-
-    @property
-    def T(self):
-        return self.A.shape[0]
-
-    @property
-    def N(self):
-        return self.A.shape[1]
-
-    @property
-    def wgts(self):
-        return rs.Weights(self.lw[-1])
-
-
 class SMC:
     """Particle filter / SMC algorithm driver (reference core.py:200-409).
 
@@ -473,7 +448,9 @@ class SMC:
             stacked = jax.tree_util.tree_map(
                 lambda *frames: jnp.stack(frames), *self._hist_frames
             )
-            self.hist = ParticleHistory(*stacked)
+            from particles_tpu.smoothing import ParticleHistory
+
+            self.hist = ParticleHistory(self.fk, *stacked)
 
     # ------------------------------------------------------------------
     # compiled whole-horizon execution
@@ -512,7 +489,9 @@ class SMC:
             self.summaries.assign_stacked(outs)
             self.rs_flag = self.summaries.rs_flags[-1]
         if self.store_history:
-            self.hist = ParticleHistory(*hist)
+            from particles_tpu.smoothing import ParticleHistory
+
+            self.hist = ParticleHistory(self.fk, *hist)
 
 
 _runner_cache = {}

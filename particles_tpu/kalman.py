@@ -236,6 +236,10 @@ class LinearGauss(ssms.StateSpaceModel):
         )
         return law.logpdf(data[t + 1])
 
+    def upper_bound_log_pt(self, t):
+        """log sup_x p(x_t | x_{t-1}) — needed by rejection-based FFBS."""
+        return -0.5 * jnp.log(2.0 * jnp.pi) - jnp.log(self.sigmaX)
+
 
 class Kalman:
     """Exact Kalman filter/smoother driver (reference kalman.py:459-517).
