@@ -1,19 +1,24 @@
 """On-line summary collectors.
 
 Counterpart of reference ``collectors.py`` (collectors.py:215-449).  A
-collector is a pure function of the per-step state view: inside the scanned
-engine its outputs are stacked over time by ``lax.scan`` (no Python-list
-mutation); in step-by-step mode the :class:`Summaries` object accumulates
-host-side.  Defaults (always on unless ``collect='off'``): ESS, logLt and the
-resampling flag (reference collectors.py:278-295).
+collector is a pure function of the per-step state view; *stateful*
+collectors (on-line smoothers, fixed-lag smoothers, variance estimators)
+additionally thread a state pytree through the scan carry — the TPU-native
+replacement for the reference's mutable collector attributes
+(``self.Phi``, ``self.B``...).
 
-The state view passed to ``collect`` mimics the attributes collectors read
-from the reference ``SMC`` object: ``t, X, Xp, A, wgts, aux, W, rs_flag,
-logLt, loglt, fk, N``.
+Defaults (always on unless ``collect='off'``): ESS, logLt and the
+resampling flag (reference collectors.py:278-295).  Extra collectors are
+passed as instances: ``SMC(fk=fk, N=100, collect=[Moments(), Paris()])``.
+
+The state view passed to ``collect``/``step`` mimics the attributes
+collectors read from the reference ``SMC`` object: ``t, X, Xp, A, wgts,
+aux, W, rs_flag, logLt, loglt, fk, N``.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from particles_tpu import resampling as rs
@@ -26,6 +31,10 @@ __all__ = [
     "LogLts",
     "Rs_flags",
     "Moments",
+    "Fixed_lag_smooth",
+    "Online_smooth_naive",
+    "Online_smooth_ON2",
+    "Paris",
     "default_collector_cls",
 ]
 
@@ -33,17 +42,20 @@ __all__ = [
 class Collector(Pytree):
     """Base class for collectors (reference collectors.py:234-271).
 
-    Subclasses define ``summary_name`` and ``collect(view) -> pytree``;
-    keyword arguments declared in class attribute ``signature`` are stored as
+    Stateless collectors define ``collect(view) -> pytree``.  Stateful ones
+    set ``stateful = True`` and define ``init(view) -> (state, out)`` (called
+    at t=0, outside the scan) and ``step(view, state) -> (state, out)``.
+    Keyword arguments declared in class attribute ``signature`` are stored as
     attributes (mirroring the reference's signature/clone protocol).
     """
 
     signature = {}
+    stateful = False
 
     @property
     def summary_name(self):
         cn = self.__class__.__name__
-        return cn[0].lower() + cn[1:] if cn[0].isupper() and cn[1:2].islower() else cn
+        return cn[0].lower() + cn[1:]
 
     def __init__(self, **kwargs):
         params = dict(self.signature)
@@ -83,7 +95,7 @@ class Rs_flags(Collector):
 
 
 class Moments(Collector):
-    """Weighted moments of the particle cloud at each t (collectors.py:301-322).
+    """Weighted moments of the particle cloud at each t (collectors.py:301-317).
 
     Uses ``fk.default_moments`` unless a custom ``mom_func`` is provided.
     """
@@ -94,6 +106,194 @@ class Moments(Collector):
     def collect(self, view):
         f = view.fk.default_moments if self.mom_func is None else self.mom_func
         return f(view.wgts.W, view.X)
+
+
+# ---------------------------------------------------------------------------
+# smoothing collectors
+# ---------------------------------------------------------------------------
+
+class Fixed_lag_smooth(Collector):
+    """Fixed-lag smoothing over a rolling window of lag ``k``
+    (reference collectors.py:323-341).
+
+    The reference requires ``store_history=k``; here the rolling window is
+    collector state (a (k, N, ...) ring buffer threaded through the scan).
+    ``phi`` maps the stacked window (k, N, ...) to per-particle values
+    (N, ...); default is the oldest slice (lag-k state).
+    """
+
+    summary_name = "fixed_lag_smooths"
+    signature = {"phi": None, "lag": 5}
+    stateful = True
+
+    def test_func(self, Xwin):
+        if self.phi is None:
+            return Xwin[0]
+        return self.phi(Xwin)
+
+    def _out(self, view, Xbuf):
+        vals = self.test_func(Xbuf)
+        W = view.wgts.W
+        Wc = W.reshape((-1,) + (1,) * (vals.ndim - 1))
+        return jnp.sum(Wc * vals, axis=0)
+
+    def init(self, view):
+        k = self.lag + 1
+        Xbuf = jnp.broadcast_to(view.X, (k,) + view.X.shape)
+        Abuf = jnp.broadcast_to(
+            jnp.arange(view.N, dtype=jnp.int32), (k, view.N)
+        ).copy()
+        state = (Xbuf, Abuf)
+        return state, self._out(view, Xbuf)
+
+    def step(self, view, state):
+        Xbuf, Abuf = state
+        # slide the window: drop oldest, append current
+        Xbuf = jnp.concatenate([Xbuf[1:], view.X[None]], axis=0)
+        Abuf = jnp.concatenate([Abuf[1:], view.A[None]], axis=0)
+        # genealogy within the window: B[i] = ancestors at window slot i
+        k = Xbuf.shape[0]
+
+        def body(B_next, A_t1):
+            B_t = jnp.take(A_t1, B_next)
+            return B_t, B_t
+
+        B_last = jnp.arange(view.N, dtype=jnp.int32)
+        _, B_rev = jax.lax.scan(body, B_last, Abuf[:0:-1])
+        B = jnp.concatenate([B_rev[::-1], B_last[None]], axis=0)
+        Xs = jax.vmap(lambda Xt, Bt: jnp.take(Xt, Bt, axis=0))(Xbuf, B)
+        state = (Xbuf, Abuf)
+        return state, self._out(view, Xs)
+
+
+class OnlineSmootherMixin:
+    """Mix-in for on-line smoothing algorithms (reference collectors.py:345-366):
+    maintains per-particle additive statistics Phi."""
+
+    stateful = True
+
+    def init(self, view):
+        Phi = view.fk.add_func(0, None, view.X)
+        state = self.save_for_later((Phi,), view)
+        return state, self._avg(Phi, view)
+
+    def _avg(self, Phi, view):
+        W = view.wgts.W
+        Wc = W.reshape((-1,) + (1,) * (Phi.ndim - 1))
+        return jnp.sum(Wc * Phi, axis=0)
+
+    def step(self, view, state):
+        Phi = self.update(view, state)
+        out = self._avg(Phi, view)
+        return self.save_for_later((Phi,), view), out
+
+    def update(self, view, state):
+        raise NotImplementedError
+
+    def save_for_later(self, base, view):
+        return base
+
+
+class Online_smooth_naive(OnlineSmootherMixin, Collector):
+    """Naive (genealogy-tracking) on-line smoother, O(N) per step
+    (reference collectors.py:368-370)."""
+
+    summary_name = "online_smooth_naives"
+
+    def update(self, view, state):
+        (Phi,) = state
+        return jnp.take(Phi, view.A, axis=0) + view.fk.add_func(
+            view.t, view.Xp, view.X
+        )
+
+
+class Online_smooth_ON2(OnlineSmootherMixin, Collector):
+    """Exact O(N²) on-line smoother (reference collectors.py:373-387),
+    vectorised as a row-softmax + contraction."""
+
+    summary_name = "online_smooth_ON2s"
+
+    def update(self, view, state):
+        Phi, prev_X, prev_lw = state
+        fk, t = view.fk, view.t
+
+        def per_particle(x_n):
+            lw = prev_lw + fk.logpt(t, prev_X, x_n)
+            Wn = jax.nn.softmax(lw)
+            vals = Phi + fk.add_func(t, prev_X, x_n)
+            Wc = Wn.reshape((-1,) + (1,) * (vals.ndim - 1))
+            return jnp.sum(Wc * vals, axis=0)
+
+        return jax.vmap(per_particle)(view.X)
+
+    def save_for_later(self, base, view):
+        return base + (view.X, view.wgts.lw)
+
+
+class Paris(OnlineSmootherMixin, Collector):
+    """Hybrid PaRIS on-line smoother (reference collectors.py:390-449;
+    Olsson & Westerborn 2017, hybrid variant of Dau & Chopin 2022).
+
+    Per particle, ``Nparis`` backward indices are drawn by rejection from
+    the multinomial proposal (at most ``max_trials`` masked rounds), with an
+    exact O(N) fallback.  Requires ``fk.ssm.upper_bound_log_pt``.
+    """
+
+    summary_name = "paris"
+    signature = {"Nparis": 2, "max_trials": None}
+
+    def update(self, view, state):
+        Phi, prev_X, prev_lw, key = state
+        fk, t, N = view.fk, view.t, view.N
+        maxtries = N if self.max_trials is None else self.max_trials
+        prev_W = rs.exp_and_normalise(prev_lw)
+        upb = fk.ssm.upper_bound_log_pt(t)
+        P = self.Nparis
+        key, kloop, kfall = jax.random.split(key, 3)
+
+        def trial(st):
+            As, rejected, k, trials = st
+            k, k1, k2 = jax.random.split(k, 3)
+            prop = rs.multinomial_iid(k1, prev_W, N * P).reshape(N, P)
+            # view.X[:, None]: (N, 1[, d]) broadcasts against (N, P[, d])
+            lp = fk.logpt(t, jnp.take(prev_X, prop, axis=0), view.X[:, None]) - upb
+            lu = jnp.log(jax.random.uniform(k2, (N, P)))
+            newly = rejected & (lu < lp)
+            As = jnp.where(newly, prop, As)
+            rejected = rejected & ~newly
+            return As, rejected, k, trials + 1
+
+        def cond(st):
+            _, rejected, _, trials = st
+            return jnp.any(rejected) & (trials < maxtries)
+
+        As0 = jnp.zeros((N, P), jnp.int32)
+        As, rejected, _, _ = jax.lax.while_loop(
+            cond, trial, (As0, jnp.ones((N, P), bool), kloop, jnp.int32(0))
+        )
+        # exact fallback: full backward weights + Gumbel draws
+        lw_mat = jax.vmap(lambda x_n: prev_lw + fk.logpt(t, prev_X, x_n))(
+            view.X
+        )  # (N, N)
+        g = jax.random.gumbel(kfall, (N, P, N))
+        exact = jnp.argmax(lw_mat[:, None, :] + g, axis=-1).astype(jnp.int32)
+        As = jnp.where(rejected, exact, As)
+        vals = jnp.take(Phi, As, axis=0) + fk.add_func(
+            t, jnp.take(prev_X, As, axis=0), view.X[:, None]
+        )
+        return jnp.mean(vals, axis=1)
+
+    def init(self, view):
+        Phi = view.fk.add_func(0, None, view.X)
+        state = (Phi, view.X, view.wgts.lw, jax.random.key(987654321))
+        return state, self._avg(Phi, view)
+
+    def step(self, view, state):
+        Phi = self.update(view, state)
+        out = self._avg(Phi, view)
+        _, _, _, key = state
+        new_key = jax.random.fold_in(key, view.t)
+        return (Phi, view.X, view.wgts.lw, new_key), out
 
 
 default_collector_cls = [ESSs, LogLts, Rs_flags]
@@ -110,16 +310,34 @@ class Summaries:
     def __init__(self, cols):
         self._collectors = [cls() for cls in default_collector_cls]
         if cols is not None:
-            # cols is a list of collector *instances* (reference convention)
             self._collectors.extend(
                 c if isinstance(c, Collector) else c() for c in cols
             )
         for col in self._collectors:
             setattr(self, col.summary_name, [])
 
-    def collect_step(self, view):
-        """Pure: returns the tuple of all collector outputs for this step."""
-        return tuple(col.collect(view) for col in self._collectors)
+    def init_step(self, view):
+        """t=0: returns (states, outputs) across collectors."""
+        states, outs = [], []
+        for c in self._collectors:
+            if c.stateful:
+                s, o = c.init(view)
+            else:
+                s, o = None, c.collect(view)
+            states.append(s)
+            outs.append(o)
+        return tuple(states), tuple(outs)
+
+    def step(self, view, states):
+        new_states, outs = [], []
+        for c, s in zip(self._collectors, states):
+            if c.stateful:
+                s2, o = c.step(view, s)
+            else:
+                s2, o = None, c.collect(view)
+            new_states.append(s2)
+            outs.append(o)
+        return tuple(new_states), tuple(outs)
 
     def assign_stacked(self, stacked):
         """Install scan-stacked outputs as attributes (scan mode)."""

@@ -149,13 +149,18 @@ class StepView(NamedTuple):
 
 
 class _Carry(NamedTuple):
-    """Scan carry of the SMC loop: the minimal evolving state."""
+    """Scan carry of the SMC loop: the minimal evolving state.
+
+    ``col_states`` threads stateful-collector state (on-line smoothers,
+    variance estimators) through the scan.
+    """
 
     key: Any
     X: Any
     lw: Any
     logLt: Any
     log_mean_w: Any
+    col_states: Any = ()
 
 
 def _gather(X, A):
@@ -194,8 +199,12 @@ def _step0(fk, key, N, qmc, summaries, ESSrmin, constrain=None):
         N=N,
         ESSrmin=ESSrmin,
     )
-    outs = summaries.collect_step(view) if summaries is not None else ()
-    carry = _Carry(key=knext, X=X, lw=lw, logLt=logLt, log_mean_w=wgts.log_mean)
+    if summaries is not None:
+        states, outs = summaries.init_step(view)
+    else:
+        states, outs = (), ()
+    carry = _Carry(key=knext, X=X, lw=lw, logLt=logLt,
+                   log_mean_w=wgts.log_mean, col_states=states)
     return carry, view, outs
 
 
@@ -287,9 +296,13 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
         fk=fk, t=t, X=X_new, Xp=Xp, A=A, wgts=new_wgts, aux=aux,
         rs_flag=rs_flag, logLt=logLt, loglt=loglt, N=N, ESSrmin=ESSrmin,
     )
-    outs = summaries.collect_step(view) if summaries is not None else ()
+    if summaries is not None:
+        states, outs = summaries.step(view, carry.col_states)
+    else:
+        states, outs = (), ()
     carry = _Carry(
-        key=key, X=X_new, lw=lw_new, logLt=logLt, log_mean_w=new_wgts.log_mean
+        key=key, X=X_new, lw=lw_new, logLt=logLt,
+        log_mean_w=new_wgts.log_mean, col_states=states,
     )
     return carry, view, outs
 

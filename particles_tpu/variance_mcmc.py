@@ -1,0 +1,120 @@
+"""MCMC asymptotic-variance estimators (for waste-free SMC collectors).
+
+Counterpart of reference ``variance_mcmc.py``: Geyer (1992) initial-sequence
+and Tukey-Hanning spectral estimators over (P, M) chain arrays, with
+FFT-based autocovariances (reference variance_mcmc.py:23-197).
+
+These run host-side on small chain arrays (they post-process sampler output
+in step-by-step mode — the waste-free variance collectors of
+``smc_samplers``), so they are plain NumPy: the data-dependent Geyer
+truncation loop needs no jit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "MCMC_variance",
+    "MCMC_variance_weighted",
+    "MCMC_variance_naive",
+    "MCMC_init_seq",
+    "MCMC_Tukey_Hanning",
+]
+
+
+def MCMC_variance(X, method):
+    """sigma^2 in the MCMC CLT, from M chains of length P stored as a (P, M)
+    array (reference variance_mcmc.py:23-36).  ``method`` in
+    ['naive', 'init_seq', 'th']."""
+    X = np.asarray(X, dtype=np.float64)
+    if method == "naive":
+        return MCMC_variance_naive(X)
+    if method == "init_seq":
+        return MCMC_init_seq(X)
+    if method == "th":
+        return MCMC_Tukey_Hanning(X)
+    raise ValueError("Unknown method.")
+
+
+def _mean_with_weighted_columns(X, W):
+    P, _ = X.shape
+    return np.sum(X * (W / P))
+
+
+def MCMC_variance_weighted(X, W, method):
+    """Like MCMC_variance with per-column weights W (sum to 1)
+    (reference variance_mcmc.py:47-50)."""
+    X = np.asarray(X, dtype=np.float64)
+    W = np.asarray(W, dtype=np.float64)
+    _, M = X.shape
+    return MCMC_variance(M * W * (X - _mean_with_weighted_columns(X, W)), method)
+
+
+def MCMC_variance_naive(X):
+    """P * var over the chain means (reference variance_mcmc.py:52-55)."""
+    P, _ = X.shape
+    return np.var(np.mean(X, axis=0)) * P
+
+
+def _autocovariances_fft(X, mu=None, bias=True):
+    """(P,) autocovariances averaged over the M chains, via FFT
+    (reference variance_mcmc.py:66-91)."""
+    X = np.asarray(X, dtype=np.float64)
+    if mu is None:
+        mu = np.mean(X)
+    Xc = X - mu
+    P, M = Xc.shape
+    nfft = 1
+    while nfft < 2 * P:
+        nfft *= 2
+    f = np.fft.rfft(Xc, n=nfft, axis=0)
+    acf = np.fft.irfft(f * np.conj(f), n=nfft, axis=0)[:P].real
+    acf = acf.mean(axis=1)
+    if bias:
+        return acf / P
+    return acf / np.arange(P, 0, -1)
+
+
+def MCMC_init_seq(X, bias=True):
+    """Geyer (1992) initial-sequence estimator
+    (reference variance_mcmc.py:137-152): sum autocovariances until the
+    first inadmissible odd index."""
+    X = np.asarray(X, dtype=np.float64)
+    c = _autocovariances_fft(X, bias=bias)
+    P = len(c)
+
+    def inadmissible(i):
+        if i % 2 == 0:
+            return False
+        val1 = c[i] + c[i - 1] if i < P else np.inf
+        if i < P and i >= 3:
+            val2 = c[i - 2] + c[i - 3] - c[i] - c[i - 1]
+        else:
+            val2 = np.inf
+        return val1 < -1e-10 or val2 < -1e-10
+
+    i = 0
+    while i < P and not inadmissible(i):
+        i += 1
+    return -c[0] + 2 * np.sum(c[:i])
+
+
+def MCMC_Tukey_Hanning(X, bias=True, adapt_constant=True):
+    """Tukey-Hanning spectral variance estimator (Flegal & Jones 2010)
+    (reference variance_mcmc.py:171-197)."""
+    X = np.asarray(X, dtype=np.float64)
+    if np.var(X) < 1e-12:
+        return 0.0
+    c = _autocovariances_fft(X, bias=bias)
+    alpha = 0.25
+    P = len(c)
+    if adapt_constant:
+        const = np.sqrt(3.75 * MCMC_variance_naive(X) / np.var(X))
+    else:
+        const = 1.0
+    b = int(max(const * P**0.5 + 1, 2))
+    w = np.array([1 - 2 * alpha + 2 * alpha * np.cos(np.pi * k / b)
+                  for k in range(b)])
+    w_cov = [w[i] * c[i] if i < P else 0.0 for i in range(1, b)]
+    return w[0] * c[0] + 2 * np.sum(w_cov)
