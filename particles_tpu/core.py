@@ -427,6 +427,11 @@ class SMC:
                 self.summaries.finalize_lists()
             self._finalize_history()
             raise StopIteration
+        if getattr(self.fk, "is_sampler", False):
+            from particles_tpu import smc_samplers
+
+            smc_samplers.sampler_next(self)
+            return
         if self.t == 0:
             self._hist_frames = []
             carry, view, outs = _step0(
@@ -471,8 +476,13 @@ class SMC:
 
     @property
     def _static_horizon(self):
-        """True if fk uses the default horizon-based ``done``."""
-        return type(self.fk).done is FeynmanKac.done and self.t == 0
+        """True if fk uses the default horizon-based ``done`` (and is not an
+        SMC sampler, which always runs through its own stepping engine)."""
+        return (
+            type(self.fk).done is FeynmanKac.done
+            and self.t == 0
+            and not getattr(self.fk, "is_sampler", False)
+        )
 
     @utils.timer
     def run(self):

@@ -1,0 +1,255 @@
+"""SMC-sampler tests, in the reference's house style (SURVEY.md §4c):
+exactness-by-conjugacy for IBIS/tempering, grid-quadrature oracle for SMC²."""
+
+import numpy as np
+import pytest
+import scipy.stats as st
+
+import jax
+import jax.numpy as jnp
+
+import particles_tpu as particles
+from particles_tpu import distributions as dists
+from particles_tpu import kalman
+from particles_tpu import smc_samplers as ssp
+
+
+class GaussianMean(ssp.StaticModel):
+    """y_t ~ N(mu, 1), mu ~ N(0, 1): fully conjugate."""
+
+    def logpyt(self, theta, t):
+        return dists.Normal(loc=theta["mu"], scale=1.0).logpdf(self.data[t])
+
+
+@pytest.fixture(scope="module")
+def conj_setup():
+    rng = np.random.default_rng(0)
+    T = 30
+    y = rng.normal(loc=1.5, size=T).astype(np.float32)
+    prior = dists.StructDist({"mu": dists.Normal(loc=0.0, scale=1.0)})
+    model = GaussianMean(data=y, prior=prior)
+    cov = np.eye(T) + np.ones((T, T))
+    exact_ev = st.multivariate_normal(np.zeros(T), cov).logpdf(y)
+    post_var = 1.0 / (1.0 + T)
+    post_mean = post_var * y.sum()
+    return model, y, exact_ev, post_mean, post_var
+
+
+def posterior_stats(pf):
+    mu = np.asarray(pf.X.theta["mu"])
+    W = np.asarray(pf.wgts.W)
+    m = np.sum(W * mu)
+    v = np.sum(W * mu**2) - m**2
+    return m, v
+
+
+class TestIBIS:
+    def test_evidence_and_posterior(self, conj_setup):
+        model, y, exact_ev, post_mean, post_var = conj_setup
+        logLts, means = [], []
+        for s in range(8):
+            pf = particles.SMC(
+                fk=ssp.IBIS(model=model, len_chain=5), N=200,
+                key=jax.random.key(s),
+            )
+            pf.run()
+            logLts.append(float(pf.logLt))
+            means.append(posterior_stats(pf)[0])
+        assert abs(np.mean(logLts) - exact_ev) < 0.15, (np.mean(logLts), exact_ev)
+        assert abs(np.mean(means) - post_mean) < 0.05
+
+    def test_standard_not_wastefree(self, conj_setup):
+        model, y, exact_ev, post_mean, post_var = conj_setup
+        pf = particles.SMC(
+            fk=ssp.IBIS(model=model, wastefree=False, len_chain=6),
+            N=1000, key=jax.random.key(5),
+        )
+        pf.run()
+        assert abs(float(pf.logLt) - exact_ev) < 0.6
+        m, v = posterior_stats(pf)
+        assert abs(m - post_mean) < 0.1
+        assert pf.X.N == 1000  # no waste-free expansion
+
+    def test_wastefree_particle_count(self, conj_setup):
+        model, *_ = conj_setup
+        pf = particles.SMC(
+            fk=ssp.IBIS(model=model, len_chain=5), N=100,
+            key=jax.random.key(0),
+        )
+        pf.run()
+        assert pf.X.N == 500  # N * len_chain
+
+
+class TestTempering:
+    def test_adaptive(self, conj_setup):
+        model, y, exact_ev, post_mean, post_var = conj_setup
+        logLts, pss, means, vars_ = [], [], [], []
+        for s in range(8):
+            pf = particles.SMC(
+                fk=ssp.AdaptiveTempering(model=model, len_chain=5),
+                N=200, key=jax.random.key(s),
+            )
+            pf.run()
+            assert float(pf.X.shared["exponent"]) == 1.0
+            logLts.append(float(pf.logLt))
+            pss.append(float(pf.X.shared["path_sampling"]))
+            m, v = posterior_stats(pf)
+            means.append(m)
+            vars_.append(v)
+        assert abs(np.mean(logLts) - exact_ev) < 0.15
+        # path-sampling estimate agrees with the SMC estimate
+        assert abs(np.mean(pss) - exact_ev) < 0.3
+        assert abs(np.mean(means) - post_mean) < 0.05
+        assert abs(np.mean(vars_) - post_var) < 0.02
+
+    def test_fixed_exponents(self, conj_setup):
+        model, y, exact_ev, *_ = conj_setup
+        fk = ssp.Tempering(
+            model=model, exponents=np.linspace(0.1, 1.0, 10), len_chain=5
+        )
+        pf = particles.SMC(fk=fk, N=300, key=jax.random.key(1))
+        pf.run()
+        assert pf.t == 10
+        assert abs(float(pf.logLt) - exact_ev) < 0.5
+
+    def test_independent_metropolis_move(self, conj_setup):
+        model, y, exact_ev, *_ = conj_setup
+        move = ssp.MCMCSequenceWF(
+            mcmc=ssp.ArrayIndependentMetropolis(), len_chain=5
+        )
+        pf = particles.SMC(
+            fk=ssp.AdaptiveTempering(model=model, len_chain=5, move=move),
+            N=300, key=jax.random.key(2),
+        )
+        pf.run()
+        assert abs(float(pf.logLt) - exact_ev) < 0.5
+
+    def test_adaptive_mcmc_sequence(self, conj_setup):
+        model, *_ = conj_setup
+        move = ssp.AdaptiveMCMCSequence(len_chain=12, adaptive=True)
+        pf = particles.SMC(
+            fk=ssp.AdaptiveTempering(
+                model=model, wastefree=False, len_chain=12, move=move
+            ),
+            N=500, key=jax.random.key(3),
+        )
+        pf.run()
+        assert float(pf.X.shared["exponent"]) == 1.0
+
+
+class TestTemperingBridge:
+    def test_gaussian_target(self):
+        """Bridge from N(0, 3^2) base to N(2, 0.5^2) target."""
+
+        class Bridge(ssp.TemperingBridge):
+            def logtarget(self, theta):
+                return dists.Normal(loc=2.0, scale=0.5).logpdf(theta["x"])
+
+        base = dists.StructDist({"x": dists.Normal(loc=0.0, scale=3.0)})
+        model = Bridge(base_dist=base)
+        pf = particles.SMC(
+            fk=ssp.AdaptiveTempering(model=model, len_chain=6), N=300,
+            key=jax.random.key(4),
+        )
+        pf.run()
+        xs = np.asarray(pf.X.theta["x"])
+        W = np.asarray(pf.wgts.W)
+        assert abs(np.sum(W * xs) - 2.0) < 0.1
+        # logLt estimates log of target normalising constant = 0
+        assert abs(float(pf.logLt)) < 0.2
+
+
+class TestCollectorsAndVariance:
+    def test_moments_collector(self, conj_setup):
+        from particles_tpu import collectors
+
+        model, y, _, post_mean, _ = conj_setup
+        pf = particles.SMC(
+            fk=ssp.IBIS(model=model, len_chain=5), N=200,
+            key=jax.random.key(0), collect=[collectors.Moments()],
+        )
+        pf.run()
+        moms = pf.summaries.moments
+        assert len(moms) == 30
+        assert abs(float(moms[-1]["mean"]["mu"]) - post_mean) < 0.1
+
+    def test_var_wf(self, conj_setup):
+        model, *_ = conj_setup
+        pf = particles.SMC(
+            fk=ssp.AdaptiveTempering(model=model, len_chain=10), N=100,
+            key=jax.random.key(1),
+        )
+        pf.run()
+        v = ssp.var_wf(pf, lambda x: np.asarray(x.theta["mu"]))
+        assert v > 0
+        # sanity: var of posterior-mean estimate should be < prior var
+        assert v / pf.wgts.W.shape[0] < 1.0
+
+    def test_var_collectors(self, conj_setup):
+        model, *_ = conj_setup
+        pf = particles.SMC(
+            fk=ssp.AdaptiveTempering(model=model, len_chain=10), N=100,
+            key=jax.random.key(2),
+            collect=[
+                ssp.Var_phi(phi=lambda x: np.asarray(x.theta["mu"])),
+                ssp.Var_logLt(),
+            ],
+        )
+        pf.run()
+        assert len(pf.summaries.var_phi) == pf.t
+        assert len(pf.summaries.var_logLt) == pf.t
+        assert all(float(v) >= 0 for v in pf.summaries.var_phi)
+
+
+class TestImportanceSampler:
+    def test_conjugate(self, conj_setup):
+        model, y, exact_ev, post_mean, _ = conj_setup
+        sampler = ssp.ImportanceSampler(model=model)
+        sampler.run(N=100_000, key=jax.random.key(0))
+        assert abs(float(sampler.log_norm_cst) - exact_ev) < 0.2
+
+
+class TestSMC2:
+    @pytest.fixture(scope="class")
+    def smc2_setup(self):
+        true = kalman.LinearGauss(rho=0.8, sigmaX=1.0, sigmaY=0.5)
+        x, y = true.simulate(jax.random.key(0), 12)
+
+        class LGfixed(kalman.LinearGauss):
+            default_params = {
+                "sigmaY": 0.5, "rho": 0.9, "sigmaX": 1.0, "sigma0": None
+            }
+
+        prior = dists.StructDist({"rho": dists.Uniform(a=-0.99, b=0.99)})
+        # oracle: marginal evidence by grid quadrature over rho
+        grid = np.linspace(-0.985, 0.985, 80)
+        lls = []
+        for r in grid:
+            kf = kalman.Kalman(ssm=LGfixed(rho=float(r)), data=y)
+            kf.filter()
+            lls.append(float(kf.logLt))
+        lls = np.array(lls)
+        prior_dens = 1.0 / (2 * 0.99)
+        from scipy.special import logsumexp
+
+        exact_ev = logsumexp(lls) + np.log(prior_dens * (grid[1] - grid[0]))
+        post = np.exp(lls - lls.max())
+        post /= post.sum()
+        exact_pmean = np.sum(post * grid)
+        return LGfixed, prior, y, exact_ev, exact_pmean
+
+    def test_evidence_and_posterior(self, smc2_setup):
+        LGfixed, prior, y, exact_ev, exact_pmean = smc2_setup
+        logLts, means = [], []
+        for s in range(4):
+            fk = ssp.SMC2(
+                ssm_cls=LGfixed, prior=prior, data=y, init_Nx=150,
+                len_chain=4,
+            )
+            pf = particles.SMC(fk=fk, N=150, key=jax.random.key(s))
+            pf.run()
+            logLts.append(float(pf.logLt))
+            W = np.asarray(pf.wgts.W)
+            means.append(np.sum(W * np.asarray(pf.X.theta["rho"])))
+        assert abs(np.mean(logLts) - exact_ev) < 0.4, (np.mean(logLts), exact_ev)
+        assert abs(np.mean(means) - exact_pmean) < 0.25, (np.mean(means), exact_pmean)
