@@ -1,0 +1,163 @@
+"""Tests for MCMC / particle MCMC: adaptive RWM, PMMH, CSMC, Particle Gibbs."""
+
+import numpy as np
+import pytest
+import scipy.stats as st
+
+import jax
+import jax.numpy as jnp
+
+from particles_tpu import distributions as dists
+from particles_tpu import kalman
+from particles_tpu import mcmc
+from particles_tpu import smc_samplers as ssp
+from particles_tpu import state_space_models as ssms
+
+
+class GaussianMean(ssp.StaticModel):
+    def logpyt(self, theta, t):
+        return dists.Normal(loc=theta["mu"], scale=1.0).logpdf(self.data[t])
+
+
+class TestBasicRWHM:
+    def test_conjugate_posterior(self):
+        rng = np.random.default_rng(0)
+        T = 25
+        y = rng.normal(loc=1.0, size=T).astype(np.float32)
+        prior = dists.StructDist({"mu": dists.Normal(loc=0.0, scale=1.0)})
+        model = GaussianMean(data=y, prior=prior)
+        m = mcmc.BasicRWHM(model=model, niter=5000, key=jax.random.key(1))
+        m.run()
+        chain = np.asarray(m.chain.theta["mu"])[1000:]
+        post_var = 1.0 / (1.0 + T)
+        post_mean = post_var * y.sum()
+        assert abs(chain.mean() - post_mean) < 0.05
+        assert abs(chain.var() - post_var) < 0.02
+        assert 0.05 < m.acc_rate < 0.9
+        assert float(m.mean_sq_jump_dist()) > 0
+
+    def test_nonadaptive(self):
+        rng = np.random.default_rng(1)
+        y = rng.normal(loc=1.0, size=10).astype(np.float32)
+        prior = dists.StructDist({"mu": dists.Normal(loc=0.0, scale=1.0)})
+        model = GaussianMean(data=y, prior=prior)
+        m = mcmc.BasicRWHM(
+            model=model, niter=2000, adaptive=False,
+            rw_cov=0.3 * np.eye(1), key=jax.random.key(2),
+        )
+        m.run()
+        assert np.isfinite(np.asarray(m.chain.lpost)).all()
+
+
+@pytest.fixture(scope="module")
+def lg_pmmh_setup():
+    true = kalman.LinearGauss(rho=0.8, sigmaX=1.0, sigmaY=0.5)
+    x, y = true.simulate(jax.random.key(0), 25)
+
+    class LGfixed(kalman.LinearGauss):
+        default_params = {
+            "sigmaY": 0.5, "rho": 0.9, "sigmaX": 1.0, "sigma0": None
+        }
+
+    prior = dists.StructDist({"rho": dists.Uniform(a=-0.99, b=0.99)})
+    # oracle posterior over rho by Kalman grid quadrature
+    grid = np.linspace(-0.985, 0.985, 100)
+    lls = np.array([
+        float(kalman.Kalman(ssm=LGfixed(rho=float(r)), data=y).logLt)
+        for r in grid
+    ])
+    post = np.exp(lls - lls.max())
+    post /= post.sum()
+    post_mean = float(np.sum(post * grid))
+    post_sd = float(np.sqrt(np.sum(post * grid**2) - post_mean**2))
+    return LGfixed, prior, y, post_mean, post_sd
+
+
+class TestPMMH:
+    def test_posterior(self, lg_pmmh_setup):
+        LGfixed, prior, y, post_mean, post_sd = lg_pmmh_setup
+        m = mcmc.PMMH(
+            ssm_cls=LGfixed, prior=prior, data=y, Nx=200, niter=2000,
+            key=jax.random.key(4),
+        )
+        m.run()
+        chain = np.asarray(m.chain.theta["rho"])[500:]
+        # MCMC s.e. roughly post_sd / sqrt(ESS); be generous
+        assert abs(chain.mean() - post_mean) < 0.15, (chain.mean(), post_mean)
+        assert 0.3 < chain.std() / post_sd < 3.0
+        assert m.nacc > 20  # chain moves
+
+    def test_alg_instance_api(self, lg_pmmh_setup):
+        LGfixed, prior, y, *_ = lg_pmmh_setup
+        m = mcmc.PMMH(ssm_cls=LGfixed, prior=prior, data=y, Nx=50, niter=10)
+        pf = m.alg_instance({"rho": 0.5}, key=jax.random.key(0))
+        pf.run()
+        assert np.isfinite(float(pf.logLt))
+
+
+class TestCSMC:
+    def test_pinned_trajectory(self):
+        ssm = kalman.LinearGauss(rho=0.9, sigmaX=1.0, sigmaY=0.2)
+        x, y = ssm.simulate(jax.random.key(5), 15)
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        xstar = jnp.zeros(15)  # arbitrary reference trajectory
+        cpf = mcmc.CSMC(fk=fk, N=100, xstar=xstar, key=jax.random.key(6))
+        cpf.run()
+        # particle 0 is pinned at every time
+        np.testing.assert_allclose(
+            np.asarray(cpf.hist.X[:, 0]), np.asarray(xstar), atol=1e-6
+        )
+        # ancestor of particle 0 is 0 at every time
+        assert np.all(np.asarray(cpf.hist.A[:, 0]) == 0)
+        assert np.isfinite(float(cpf.logLt))
+
+    def test_csmc_mixes(self):
+        """Trajectories extracted from CSMC move away from a bad xstar."""
+        ssm = kalman.LinearGauss(rho=0.9, sigmaX=1.0, sigmaY=0.2)
+        x, y = ssm.simulate(jax.random.key(7), 15)
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        xstar = jnp.full(15, 5.0)  # far from the data
+        cpf = mcmc.CSMC(fk=fk, N=500, xstar=xstar, key=jax.random.key(8))
+        cpf.run()
+        traj = cpf.hist.extract_one_trajectory(jax.random.key(9))
+        # extracted trajectory should track the data, not xstar
+        assert float(jnp.mean(jnp.abs(traj - y))) < 2.0
+
+
+class TestParticleGibbs:
+    def _build(self, regenerate_data=False, niter=60, backward_step=False):
+        class PG(mcmc.ParticleGibbs):
+            def update_theta(self, key, theta, x):
+                # conjugate update of rho given states (known sigmaX=1):
+                # rho | x ~ N(sum(x_t x_{t-1}) / sum(x_{t-1}^2), 1/sum(...))
+                xp, xc = x[:-1], x[1:]
+                prec = jnp.sum(xp**2) + 1.0  # + prior precision N(0,1)
+                mean = jnp.sum(xp * xc) / prec
+                draw = mean + jax.random.normal(key, ()) / jnp.sqrt(prec)
+                return {"rho": jnp.clip(draw, -0.99, 0.99)}
+
+        class LGfixed(kalman.LinearGauss):
+            default_params = {
+                "sigmaY": 0.5, "rho": 0.9, "sigmaX": 1.0, "sigma0": None
+            }
+
+        true = kalman.LinearGauss(rho=0.8, sigmaX=1.0, sigmaY=0.5)
+        x, y = true.simulate(jax.random.key(1), 30)
+        prior = dists.StructDist({"rho": dists.Uniform(a=-0.99, b=0.99)})
+        return PG(
+            ssm_cls=LGfixed, prior=prior, data=y, Nx=100, niter=niter,
+            regenerate_data=regenerate_data, backward_step=backward_step,
+            store_x=True, key=jax.random.key(2),
+        )
+
+    def test_posterior_concentration(self):
+        pg = self._build(niter=80)
+        pg.run()
+        chain = np.asarray(pg.chain.theta["rho"])[20:]
+        assert abs(chain.mean() - 0.8) < 0.25
+        assert pg.chain.x.shape == (80, 30)
+
+    def test_backward_step(self):
+        pg = self._build(niter=20, backward_step=True)
+        pg.run()
+        assert np.isfinite(np.asarray(pg.chain.theta["rho"])).all()
