@@ -205,7 +205,12 @@ def _step0(fk, key, N, qmc, summaries, ESSrmin, constrain=None):
         states, outs = (), ()
     carry = _Carry(key=knext, X=X, lw=lw, logLt=logLt,
                    log_mean_w=wgts.log_mean, col_states=states)
-    return carry, view, outs
+    if qmc:
+        from particles_tpu import hilbert
+
+        h_order = hilbert.hilbert_sort(X)
+        return carry, view, outs, h_order
+    return carry, view, outs, None
 
 
 def _repeat(X, counts, M):
@@ -307,6 +312,74 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
     return carry, view, outs
 
 
+def _step_qmc(fk, carry, h_order, t, N, ESSrmin, summaries,
+              constrain=None):
+    """One SQMC step (reference core.py:339-349): always resample, using one
+    scrambled-Sobol point set per step — the first coordinate drives an
+    inverse-CDF resampling of the Hilbert-ordered particles, the remaining
+    ``du`` coordinates are pushed through the deterministic kernel ``Gamma``.
+
+    ``h_order`` is the Hilbert sort order of the *current* particles
+    (computed at the previous step; one sort per step).
+    """
+    from particles_tpu import hilbert, rqmc
+
+    key, k_u = jax.random.split(carry.key)
+    X, lw = carry.X, carry.lw
+    wgts = rs.Weights(lw)
+    if fk.isAPF:
+        logetat = fk.logeta(t - 1, X)
+        aux = wgts.add(logetat)
+    else:
+        logetat = None
+        aux = wgts
+
+    du = max(fk.du, 1)
+    u = rqmc.sobol(k_u, N, du + 1)
+    tau = jnp.argsort(u[:, 0])
+    su = jnp.take(u[:, 0], tau)  # sorted first coordinate
+    W_h = jnp.take(aux.W, h_order)
+    cs = jnp.cumsum(W_h)
+    cs = cs / cs[-1]
+    z = rs._merge_rank_counts(su, cs, N)
+    z = z.at[-1].set(N)
+    z = jax.lax.associative_scan(jnp.maximum, z)
+    counts = jnp.diff(z, prepend=jnp.zeros(1, jnp.int32))
+    A_h = rs.counts_to_ancestors(counts, N)
+    A = jnp.take(h_order, A_h)
+    Xp = _gather(X, A)
+    if fk.isAPF:
+        lw_reset = rs.log_mean_exp(logetat, W=wgts.W) - jnp.take(logetat, A)
+    else:
+        lw_reset = jnp.zeros(N, dtype=lw.dtype)
+
+    v = jnp.take(u[:, 1:], tau, axis=0)
+    v = v[:, 0] if fk.du <= 1 else v
+    X_new = fk.Gamma(t, Xp, v)
+    lw_new = lw_reset + fk.logG(t, Xp, X_new)
+    if constrain is not None:
+        X_new, lw_new = constrain(X_new, lw_new)
+    new_wgts = rs.Weights(lw_new)
+    loglt = new_wgts.log_mean  # always resampled
+    logLt = carry.logLt + loglt
+    rs_flag = jnp.asarray(True)
+
+    view = StepView(
+        fk=fk, t=t, X=X_new, Xp=Xp, A=A, wgts=new_wgts, aux=aux,
+        rs_flag=rs_flag, logLt=logLt, loglt=loglt, N=N, ESSrmin=ESSrmin,
+    )
+    if summaries is not None:
+        states, outs = summaries.step(view, carry.col_states)
+    else:
+        states, outs = (), ()
+    carry = _Carry(
+        key=key, X=X_new, lw=lw_new, logLt=logLt,
+        log_mean_w=new_wgts.log_mean, col_states=states,
+    )
+    h_order_new = hilbert.hilbert_sort(X_new)
+    return carry, h_order_new, view, outs
+
+
 def _history_out(view, store_history):
     if not store_history:
         return ()
@@ -315,19 +388,43 @@ def _history_out(view, store_history):
 
 def _run_full(fk, key, N, T, qmc, resampling_scheme, ESSrmin, summaries,
               store_history, constrain=None):
-    """The whole filter as step0 + one lax.scan (jit this)."""
-    carry, view0, outs0 = _step0(fk, key, N, qmc, summaries, ESSrmin,
-                                 constrain)
+    """The whole filter as step0 + one lax.scan (jit this).
+
+    Under ``qmc=True`` this is the SQMC algorithm: the Hilbert sort order of
+    the current particles rides in the scan carry, and each step's history
+    frame additionally records it (for QMC-FFBS smoothing).
+    """
+    carry, view0, outs0, h0 = _step0(fk, key, N, qmc, summaries, ESSrmin,
+                                     constrain)
     hist0 = _history_out(view0, store_history)
+    if qmc and store_history:
+        hist0 = hist0 + (h0,)
 
-    def body(carry, t):
-        carry, view, outs = _step(
-            fk, carry, t, N, resampling_scheme, ESSrmin, summaries, constrain
+    if qmc:
+        def body(ch, t):
+            carry, h_order = ch
+            carry, h_new, view, outs = _step_qmc(
+                fk, carry, h_order, t, N, ESSrmin, summaries, constrain
+            )
+            h_frame = _history_out(view, store_history)
+            if store_history:
+                h_frame = h_frame + (h_new,)
+            return (carry, h_new), (outs, h_frame)
+
+        ts = jnp.arange(1, T, dtype=jnp.int32)
+        (carry, _), (outs_rest, hist_rest) = jax.lax.scan(
+            body, (carry, h0), ts
         )
-        return carry, (outs, _history_out(view, store_history))
+    else:
+        def body(carry, t):
+            carry, view, outs = _step(
+                fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
+                constrain
+            )
+            return carry, (outs, _history_out(view, store_history))
 
-    ts = jnp.arange(1, T, dtype=jnp.int32)
-    carry, (outs_rest, hist_rest) = jax.lax.scan(body, carry, ts)
+        ts = jnp.arange(1, T, dtype=jnp.int32)
+        carry, (outs_rest, hist_rest) = jax.lax.scan(body, carry, ts)
 
     # prepend step-0 outputs to the stacked scan outputs
     all_outs = jax.tree_util.tree_map(
@@ -336,7 +433,7 @@ def _run_full(fk, key, N, T, qmc, resampling_scheme, ESSrmin, summaries,
         outs_rest,
     )
     all_hist = jax.tree_util.tree_map(
-        lambda h0, hrest: jnp.concatenate([h0[None], hrest], axis=0),
+        lambda h0_, hrest: jnp.concatenate([h0_[None], hrest], axis=0),
         hist0,
         hist_rest,
     )
@@ -419,7 +516,10 @@ class SMC:
         self.logLt = view.logLt
         self.loglt = view.loglt
         if self.store_history:
-            self._hist_frames.append(_history_out(view, True))
+            frame = _history_out(view, True)
+            if self.qmc:
+                frame = frame + (self._h_order,)
+            self._hist_frames.append(frame)
 
     def __next__(self):
         if self.fk.done(self):
@@ -434,8 +534,19 @@ class SMC:
             return
         if self.t == 0:
             self._hist_frames = []
-            carry, view, outs = _step0(
+            carry, view, outs, h0 = _step0(
                 self.fk, self.key, self.N, self.qmc, self.summaries, self.ESSrmin
+            )
+            self._h_order = h0
+        elif self.qmc:
+            if not hasattr(self, "_jit_step_qmc"):
+                self._jit_step_qmc = jax.jit(
+                    lambda fk, carry, h, t: _step_qmc(
+                        fk, carry, h, t, self.N, self.ESSrmin, self.summaries,
+                    ),
+                )
+            carry, self._h_order, view, outs = self._jit_step_qmc(
+                self.fk, self._carry, self._h_order, jnp.int32(self.t)
             )
         else:
             if not hasattr(self, "_jit_step"):

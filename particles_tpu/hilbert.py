@@ -1,0 +1,136 @@
+"""Hilbert space-filling curve: vectorised index computation + hilbert_sort.
+
+Counterpart of reference ``hilbert.py``: ``hilbert_sort``
+(hilbert.py:33-57) — standardise, squash through a logistic CDF,
+integerise, order by Hilbert index — and the per-point index computation
+(numba Gray-code travel loops, hilbert.py:14-30/84-95).
+
+TPU-native: Skilling's transpose-to-axes algorithm, vectorised over the N
+points with static loops over bits and dimensions (pure int32/uint32
+bitwise ops on the VPU) — no per-point Python/numba loop.  1-d shortcut is
+a plain argsort, as in the reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["hilbert_sort", "hilbert_array", "hilbert_index"]
+
+
+def hilbert_index(coords, nbits):
+    """Hilbert indices of integer points.
+
+    Parameters
+    ----------
+    coords : (N, d) uint32 array, entries in [0, 2^nbits)
+    nbits : int (static) — bits per coordinate; d * nbits <= 62
+
+    Returns
+    -------
+    (N,) uint64-valued (as jnp.uint64 if x64 enabled, else float-safe
+    int64-in-2-uint32? no — jnp.uint32 pair packed) — here: (N,) uint32 when
+    d*nbits <= 32, else two-limb lexicographic keys reduced to a sortable
+    (N,) float64-free representation: we return the transposed bit planes
+    packed MSB-first into an (N, d*nbits <= 64)-bit integer using uint32
+    pairs; callers should use :func:`hilbert_sort` which handles ordering.
+    """
+    X = coords.astype(jnp.uint32)
+    N, d = X.shape
+    M = jnp.uint32(1 << (nbits - 1))
+
+    # Inverse undo (Skilling, "Programming the Hilbert curve", 2004)
+    Q = 1 << (nbits - 1)
+    while Q > 1:
+        Qc = jnp.uint32(Q)
+        P = jnp.uint32(Q - 1)
+        for i in range(d):
+            cond = (X[:, i] & Qc) > 0
+            # if set: invert low bits of axis 0
+            X0_inv = X[:, 0] ^ P
+            # else: exchange low bits of axis 0 and axis i
+            t = (X[:, 0] ^ X[:, i]) & P
+            X0_exc = X[:, 0] ^ t
+            Xi_exc = X[:, i] ^ t
+            X = X.at[:, 0].set(jnp.where(cond, X0_inv, X0_exc))
+            if i > 0:
+                X = X.at[:, i].set(jnp.where(cond, X[:, i], Xi_exc))
+        Q >>= 1
+
+    # Gray encode
+    for i in range(1, d):
+        X = X.at[:, i].set(X[:, i] ^ X[:, i - 1])
+    t = jnp.zeros(N, jnp.uint32)
+    Q = 1 << (nbits - 1)
+    while Q > 1:
+        Qc = jnp.uint32(Q)
+        t = jnp.where((X[:, d - 1] & Qc) > 0, t ^ jnp.uint32(Q - 1), t)
+        Q >>= 1
+    for i in range(d):
+        X = X.at[:, i].set(X[:, i] ^ t)
+
+    # interleave bit-planes (MSB first, axis 0 most significant) into keys;
+    # up to 62 bits split across two uint32 limbs for sorting
+    total_bits = d * nbits
+    hi = jnp.zeros(N, jnp.uint32)
+    lo = jnp.zeros(N, jnp.uint32)
+    pos = total_bits - 1
+    for b in range(nbits - 1, -1, -1):
+        for i in range(d):
+            bit = ((X[:, i] >> jnp.uint32(b)) & 1).astype(jnp.uint32)
+            if pos >= 32:
+                hi = hi | (bit << jnp.uint32(pos - 32))
+            else:
+                lo = lo | (bit << jnp.uint32(pos))
+            pos -= 1
+    return hi, lo
+
+
+def hilbert_array(xint, nbits=None):
+    """Hilbert indices (as sortable (hi, lo) uint32 limb pair) of an (N, d)
+    integer array — counterpart of reference ``hilbert_array``
+    (hilbert.py:14-30)."""
+    d = xint.shape[1]
+    if nbits is None:
+        nbits = max(1, min(62 // d, 16))
+    return hilbert_index(xint, nbits)
+
+
+def _standardise_and_integerise(x, nbits):
+    """Reference ``hilbert_sort`` preprocessing (hilbert.py:33-57):
+    standardise each coordinate, squash through the logistic CDF, then
+    integerise to [0, 2^nbits)."""
+    m = jnp.mean(x, axis=0)
+    s = jnp.std(x, axis=0) + 1e-30
+    z = (x - m) / s
+    u = jax.nn.sigmoid(z)
+    maxint = (1 << nbits) - 1
+    xint = jnp.clip(
+        jnp.floor(u * (1 << nbits)), 0, maxint
+    ).astype(jnp.uint32)
+    return xint
+
+
+def hilbert_sort(x, nbits=None):
+    """Indices that sort the particles along the Hilbert curve
+    (reference hilbert.py:33-57).  1-d input: plain argsort."""
+    if x.ndim == 1:
+        return jnp.argsort(x).astype(jnp.int32)
+    d = x.shape[1]
+    if d == 1:
+        return jnp.argsort(x[:, 0]).astype(jnp.int32)
+    if nbits is None:
+        nbits = max(1, min(62 // d, 16))
+    xint = _standardise_and_integerise(x, nbits)
+    hi, lo = hilbert_index(xint, nbits)
+    # lexicographic argsort on the (hi, lo) limbs via one 64-ish key:
+    key = hi.astype(jnp.float64) * 4294967296.0 + lo.astype(jnp.float64) \
+        if jax.config.jax_enable_x64 else None
+    if key is not None:
+        return jnp.argsort(key).astype(jnp.int32)
+    # without x64: two-pass stable argsort (lo then hi)
+    order_lo = jnp.argsort(lo, stable=True)
+    hi_perm = jnp.take(hi, order_lo)
+    order = jnp.take(order_lo, jnp.argsort(hi_perm, stable=True))
+    return order.astype(jnp.int32)

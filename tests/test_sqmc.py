@@ -1,0 +1,169 @@
+"""Tests for RQMC sequences, Hilbert curve, and the SQMC algorithm."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import particles_tpu as particles
+from particles_tpu import hilbert
+from particles_tpu import kalman
+from particles_tpu import rqmc
+from particles_tpu import state_space_models as ssms
+
+
+class TestRQMC:
+    def test_sobol_matches_scipy(self):
+        from scipy.stats import qmc as sq
+
+        for d in (1, 2, 5, 13, 21):
+            ours = np.asarray(rqmc.sobol_unscrambled(128, d))
+            ref = sq.Sobol(d, scramble=False).random(128)
+            np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_scrambled_sobol_uniform(self):
+        u = np.asarray(rqmc.sobol(jax.random.key(0), 4096, 3))
+        assert u.shape == (4096, 3)
+        assert (u > 0).all() and (u < 1).all()
+        np.testing.assert_allclose(u.mean(axis=0), 0.5, atol=0.02)
+        # QMC equidistribution beats MC: max CDF deviation small
+        for j in range(3):
+            s = np.sort(u[:, j])
+            disc = np.abs(s - np.arange(1, 4097) / 4096).max()
+            assert disc < 0.01, disc
+
+    def test_different_keys_different_points(self):
+        u1 = rqmc.sobol(jax.random.key(1), 64, 2)
+        u2 = rqmc.sobol(jax.random.key(2), 64, 2)
+        assert float(jnp.max(jnp.abs(u1 - u2))) > 0.01
+
+    def test_halton_and_latin(self):
+        h = np.asarray(rqmc.halton(jax.random.key(0), 1000, 4))
+        assert h.shape == (1000, 4)
+        np.testing.assert_allclose(h.mean(axis=0), 0.5, atol=0.05)
+        l = np.asarray(rqmc.latin(jax.random.key(1), 500, 3))
+        assert l.shape == (500, 3)
+        # LHS: exactly one point per stratum per dim
+        for j in range(3):
+            counts = np.bincount((l[:, j] * 500).astype(int), minlength=500)
+            assert counts.max() == 1
+
+
+class TestHilbert:
+    def test_2x2(self):
+        coords = jnp.array([[0, 0], [0, 1], [1, 1], [1, 0]], jnp.uint32)
+        hi, lo = hilbert.hilbert_index(coords, 1)
+        idx = np.asarray(lo)
+        assert sorted(idx) == [0, 1, 2, 3]
+        # the 2x2 curve visits these points in exactly this order
+        assert list(idx) == [0, 1, 2, 3]
+
+    def test_bijective_and_unit_steps(self):
+        """Defining property: the curve visits every cell once and each
+        consecutive pair of cells is Manhattan-adjacent."""
+        n = 8
+        xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+        coords = jnp.asarray(
+            np.stack([xs.ravel(), ys.ravel()], axis=1), jnp.uint32
+        )
+        hi, lo = hilbert.hilbert_index(coords, 3)
+        idx = np.asarray(lo)
+        assert len(np.unique(idx)) == n * n
+        order = np.argsort(idx)
+        path = np.asarray(coords)[order]
+        dists = np.abs(np.diff(path.astype(int), axis=0)).sum(axis=1)
+        assert (dists == 1).all()
+
+    def test_3d_bijective(self):
+        n = 4
+        g = np.arange(n)
+        coords = jnp.asarray(
+            np.stack(np.meshgrid(g, g, g), axis=-1).reshape(-1, 3), jnp.uint32
+        )
+        hi, lo = hilbert.hilbert_index(coords, 2)
+        idx = np.asarray(lo)
+        assert len(np.unique(idx)) == n**3
+        order = np.argsort(idx)
+        path = np.asarray(coords)[order].astype(int)
+        assert (np.abs(np.diff(path, axis=0)).sum(axis=1) == 1).all()
+
+    def test_sort_1d_is_argsort(self):
+        x = jnp.asarray(np.random.default_rng(0).normal(size=100))
+        np.testing.assert_array_equal(
+            np.asarray(hilbert.hilbert_sort(x)), np.argsort(np.asarray(x))
+        )
+
+    def test_sort_locality(self):
+        """Hilbert-sorted 2-d points: consecutive points are close."""
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(2000, 2)), jnp.float32)
+        order = hilbert.hilbert_sort(x)
+        sorted_x = np.asarray(x)[np.asarray(order)]
+        mean_gap = np.linalg.norm(np.diff(sorted_x, axis=0), axis=1).mean()
+        rand_gap = np.linalg.norm(
+            np.diff(np.asarray(x), axis=0), axis=1
+        ).mean()
+        assert mean_gap < 0.25 * rand_gap
+
+
+class TestSQMC:
+    @pytest.fixture(scope="class")
+    def lg(self):
+        ssm = kalman.LinearGauss(rho=0.9, sigmaX=1.0, sigmaY=0.2)
+        x, y = ssm.simulate(jax.random.key(42), 30)
+        kf = kalman.Kalman(ssm=ssm, data=y)
+        kf.filter()
+        return ssm, y, float(kf.logLt)
+
+    def test_unbiased(self, lg):
+        ssm, y, exact = lg
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        lls = []
+        for s in range(8):
+            pf = particles.SMC(fk=fk, N=500, qmc=True, key=jax.random.key(s))
+            pf.run()
+            lls.append(float(pf.logLt))
+        assert abs(np.mean(lls) - exact) < 0.25, (np.mean(lls), exact)
+
+    def test_beats_smc_variance(self, lg):
+        """SQMC logLt estimates should have (much) lower variance than SMC
+        at the same N."""
+        ssm, y, exact = lg
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        smc_lls, sqmc_lls = [], []
+        for s in range(12):
+            pf = particles.SMC(fk=fk, N=300, key=jax.random.key(100 + s))
+            pf.run()
+            smc_lls.append(float(pf.logLt))
+            pfq = particles.SMC(
+                fk=fk, N=300, qmc=True, key=jax.random.key(200 + s)
+            )
+            pfq.run()
+            sqmc_lls.append(float(pfq.logLt))
+        assert np.var(sqmc_lls) < np.var(smc_lls), (
+            np.var(sqmc_lls), np.var(smc_lls),
+        )
+
+    def test_guided_sqmc(self, lg):
+        ssm, y, exact = lg
+        fk = ssms.GuidedPF(ssm=ssm, data=y)
+        pf = particles.SMC(fk=fk, N=500, qmc=True, key=jax.random.key(3))
+        pf.run()
+        assert abs(float(pf.logLt) - exact) < 0.3
+
+    def test_qmc_ffbs(self, lg):
+        ssm, y, _ = lg
+        kf = kalman.Kalman(ssm=ssm, data=y)
+        kf.smoother()
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        pf = particles.SMC(
+            fk=fk, N=1000, qmc=True, store_history=True,
+            key=jax.random.key(4),
+        )
+        pf.run()
+        assert pf.hist.h_orders is not None
+        paths = pf.hist.backward_sampling_qmc(jax.random.key(5), 500)
+        means = np.asarray(jnp.mean(paths, axis=1))
+        exact = np.asarray(kf.smth.mean)[:, 0]
+        np.testing.assert_allclose(means, exact, atol=0.15)
