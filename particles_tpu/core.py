@@ -12,11 +12,11 @@ the :class:`SMC` driver (core.py:200-409) — re-architected for XLA:
   with a *Python* ``t=0`` outside the scan, so reference-style ``if t == 0``
   branches in user models keep working; inside the scan ``t`` is traced and
   always >= 1.
-* **Adaptive resampling without branches.** The resample-or-not decision
-  (reference core.py:326-337) is a masked select: ancestors are
-  ``where(rs_flag, A_resampled, arange)``, weights are
-  ``where(rs_flag, reset_lw, lw)`` — both sides cost one gather, which is
-  HBM-bandwidth-bound and cheap relative to ``M``/``logG``.
+* **Adaptive resampling via ``lax.cond`` + offspring counts.** The
+  resample-or-not decision (reference core.py:326-337) is a ``lax.cond``
+  whose taken branch alone executes; inside it, sorted-ancestor schemes
+  move particles by ``repeat``-by-counts, which is ~10x faster than a
+  random-index gather on TPU (see ``particles_tpu.resampling``).
 * **Dynamic-horizon algorithms** (adaptive tempering, nested sampling — any
   subclass overriding ``done``) run step-by-step: each step is the same
   jitted kernel, the Python loop only syncs the termination scalar.
@@ -490,8 +490,17 @@ class SMC:
             self.summaries = None
         else:
             self.summaries = collectors.Summaries(collect)
-        self.store_history = store_history
+        # store_history: True (full), int k (rolling window), or callable
+        # t -> bool (partial); reference smoothing.py:151-161
+        self.hist_option = store_history
+        self.store_history = store_history is True
         self.hist = None
+        self._hist_obj = None
+        if not isinstance(store_history, bool):
+            from particles_tpu import smoothing
+
+            self._hist_obj = smoothing.generate_hist_obj(store_history, self)
+            self.hist = self._hist_obj
         self._carry = None
 
     def __str__(self):
@@ -520,6 +529,8 @@ class SMC:
             if self.qmc:
                 frame = frame + (self._h_order,)
             self._hist_frames.append(frame)
+        if self._hist_obj is not None:
+            self._hist_obj.save(self)
 
     def __next__(self):
         if self.fk.done(self):
@@ -592,6 +603,7 @@ class SMC:
         return (
             type(self.fk).done is FeynmanKac.done
             and self.t == 0
+            and self._hist_obj is None  # rolling/partial history: step mode
             and not getattr(self.fk, "is_sampler", False)
         )
 

@@ -13,9 +13,11 @@ Key differences from the reference, by design:
   argument — ``resampling(scheme, key, W, M)`` instead of the reference's
   global-RNG ``resampling(scheme, W, M)`` (resampling.py:477-481).
 * The numba two-pointer ``inverse_cdf`` kernel (resampling.py:484-509) is
-  replaced by normalised-cumsum + vectorised ``searchsorted`` — O(M log N)
-  work but fully parallel, which XLA maps onto the VPU at HBM-bandwidth
-  speed; a Pallas variant lives in ``particles_tpu.ops``.
+  replaced by *offspring-count formulations* (see the counts registry
+  below): pure arithmetic for systematic/stratified, a single ``lax.sort``
+  merge-rank for multinomial/residual — no searchsorted, no random-index
+  gather, both of which are order-of-magnitude slower on TPU.  Ancestors
+  are recovered as ``repeat(arange(N), counts)`` when needed.
 * ``ssp`` (resampling.py:630-677) is an inherently sequential pairwise
   process; here it is a ``lax.scan``.  It is exact but sequential — prefer
   ``systematic`` for large N on TPU (same support properties).

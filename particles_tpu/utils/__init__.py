@@ -17,7 +17,7 @@ import jax
 
 from particles_tpu.utils.struct import KwPytree, Pytree  # noqa: F401
 
-__all__ = ["timer", "cartesian_args", "add_to_dict", "Pytree", "KwPytree"]
+__all__ = ["timer", "cartesian_args", "add_to_dict", "multiplexer", "Pytree", "KwPytree"]
 
 
 def timer(method):
@@ -77,3 +77,38 @@ def cartesian_args(args):
         labels_list.append(labels)
         values_list.append(values)
     return labels_list, values_list
+
+
+def multiplexer(f=None, nruns=1, seeding=None, key=None, nprocs=0,
+                protected_args=None, **args):
+    """Run function ``f`` over a cartesian product of options x ``nruns``
+    replicates (reference ``utils.multiplexer``, utils.py:216-269).
+
+    TPU-native differences: randomness is explicit — each call receives a
+    distinct ``key`` keyword (replacing the reference's stratified
+    ``distinct_seeds`` + joblib workers, utils.py:158-202); ``nprocs`` and
+    ``seeding`` are accepted for API compatibility and ignored (replicates
+    are independent device computations).  Any list-valued keyword produces
+    one run per element; dict-valued keywords contribute their keys as
+    labels.  Returns a list of dicts with the varying options, ``'run'``
+    and ``'output'``.
+    """
+    import jax as _jax
+
+    del seeding, nprocs
+    if f is None:
+        raise ValueError("multiplexer: you must provide a function f")
+    protected = protected_args or {}
+    labels_list, values_list = cartesian_args(args)
+    key = key if key is not None else _jax.random.key(0)
+    keys = _jax.random.split(key, nruns)
+    results = []
+    varying = [k for k, v in args.items() if isinstance(v, (list, dict))]
+    for labels, values in zip(labels_list, values_list):
+        for r in range(nruns):
+            out = f(key=keys[r], **protected, **values)
+            entry = {k: labels[k] for k in varying}
+            entry["run"] = r
+            entry["output"] = out
+            results.append(entry)
+    return results
