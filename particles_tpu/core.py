@@ -216,12 +216,16 @@ def _step0(fk, key, N, qmc, summaries, ESSrmin, constrain=None):
 def _repeat(X, counts, M):
     """Resampling move for sorted-ancestor schemes: X[A] = repeat-by-counts.
 
-    `jnp.repeat(x, counts, total_repeat_length)` is ~10x faster than a
-    random-index gather on TPU (see the performance note in
-    particles_tpu.resampling).
+    1-D leaves route through the Pallas streaming-merge kernel on TPU
+    (~75x faster than the XLA gather at N=1e6, see particles_tpu.ops);
+    other leaves use `jnp.repeat` (still ~10x faster than a random gather).
     """
+    from particles_tpu.ops import repeat_by_counts
+
     return jax.tree_util.tree_map(
-        lambda leaf: jnp.repeat(leaf, counts, axis=0, total_repeat_length=M),
+        lambda leaf: repeat_by_counts(leaf, counts, M)
+        if leaf.ndim == 1
+        else jnp.repeat(leaf, counts, axis=0, total_repeat_length=M),
         X,
     )
 
@@ -264,9 +268,11 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
             A = rs.counts_to_ancestors(counts, N)
             Xp = _repeat(X, counts, N)
             if fk.isAPF:
-                reset_lw = rs.log_mean_exp(logetat, W=wgts.W) - jnp.repeat(
-                    logetat, counts, total_repeat_length=N
-                )
+                from particles_tpu.ops import repeat_by_counts
+
+                reset_lw = rs.log_mean_exp(
+                    logetat, W=wgts.W
+                ) - repeat_by_counts(logetat, counts, N)
             else:
                 reset_lw = jnp.zeros(N, dtype=lw.dtype)
         else:

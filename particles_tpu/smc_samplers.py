@@ -186,7 +186,9 @@ class ThetaParticles(Pytree):
     def subset_by_counts(self, counts, M):
         """Resampling move by offspring counts (sorted ancestors)."""
         return self.map_fields(
-            lambda a: jnp.repeat(a, counts, axis=0, total_repeat_length=M)
+            lambda a: __import__("particles_tpu.ops", fromlist=["ops"]).repeat_by_counts(a, counts, M)
+            if a.ndim == 1
+            else jnp.repeat(a, counts, axis=0, total_repeat_length=M)
         )
 
     def subset(self, A):
