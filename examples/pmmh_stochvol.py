@@ -1,0 +1,46 @@
+"""PMMH parameter inference for a stochastic-volatility model.
+
+TPU-native counterpart of book/pmcmc/pmmh_lingauss.py-style experiments —
+the reference quotes >10h of CPU for 1e5-iteration studies; here the whole
+chain (with a full inner particle filter per iteration) is one compiled
+lax.scan.
+"""
+
+import time
+
+import numpy as np
+
+import jax
+
+from particles_tpu import distributions as dists
+from particles_tpu import mcmc
+from particles_tpu import state_space_models as ssms
+
+
+def main():
+    true = ssms.StochVol(mu=-1.0, rho=0.9, sigma=0.3)
+    x, y = true.simulate(jax.random.key(0), 200)
+
+    prior = dists.StructDist({
+        "mu": dists.Normal(scale=2.0),
+        "rho": dists.Uniform(a=-0.99, b=0.99),
+        "sigma": dists.Gamma(a=2.0, b=4.0),
+    })
+
+    m = mcmc.PMMH(
+        ssm_cls=ssms.StochVol, prior=prior, data=y, Nx=200, niter=3000,
+        key=jax.random.key(1),
+    )
+    t0 = time.perf_counter()
+    m.run()
+    print(f"3000 PMMH iterations (Nx=200, T=200) in {m.cpu_time:.1f}s "
+          f"(acc rate {m.acc_rate:.2f})")
+    burn = 1000
+    for par, truth in (("mu", -1.0), ("rho", 0.9), ("sigma", 0.3)):
+        chain = np.asarray(m.chain.theta[par])[burn:]
+        print(f"  {par:6s}: posterior {chain.mean():+.3f} "
+              f"+/- {chain.std():.3f}   (truth {truth:+.3f})")
+
+
+if __name__ == "__main__":
+    main()

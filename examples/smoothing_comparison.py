@@ -1,0 +1,39 @@
+"""Compare off-line smoothing algorithms (FFBS variants, two-filter) on a
+linear-Gaussian model against the exact Kalman smoother.
+
+TPU-native counterpart of book/smoothing/offline_smoothing.py (which the
+reference quotes at ~1 day of CPU time for the full study).
+"""
+
+import numpy as np
+
+import jax
+
+from particles_tpu import kalman
+from particles_tpu import smoothing
+from particles_tpu import state_space_models as ssms
+
+
+def main():
+    ssm = kalman.LinearGauss(rho=0.9, sigmaX=1.0, sigmaY=0.3)
+    x, y = ssm.simulate(jax.random.key(7), 50)
+    kf = kalman.Kalman(ssm=ssm, data=y)
+    kf.smoother()
+    exact = np.asarray(kf.smth.mean)[:, 0]
+
+    fk = ssms.Bootstrap(ssm=ssm, data=y)
+    add_func = lambda t, xp, xc: xp
+    log_gamma = lambda xx: ssm.PX0().logpdf(xx)
+
+    for method in ("FFBS_ON2", "FFBS_MCMC", "FFBS_hybrid",
+                   "two-filter_ON2", "two-filter_ON"):
+        out = smoothing.smoothing_worker(
+            method=method, N=500, fk=fk, add_func=add_func,
+            log_gamma=log_gamma, key=jax.random.key(3),
+        )
+        err = np.abs(np.asarray(out["est"]) - exact[:-1]).mean()
+        print(f"{method:16s}: mean abs err {err:.4f}  ({out['cpu']:.2f}s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+"""SQMC vs SMC: variance of the log-likelihood estimate at equal N.
+
+TPU-native counterpart of the reference's SMC-vs-SQMC comparisons
+(book/mle/compare_smc_sqmc_malik_and_pitt.py quotes 2-3h; this runs in
+seconds).
+"""
+
+import numpy as np
+
+import jax
+
+import particles_tpu as particles
+from particles_tpu import kalman
+from particles_tpu import state_space_models as ssms
+
+
+def main():
+    ssm = kalman.LinearGauss(rho=0.9, sigmaX=1.0, sigmaY=0.2)
+    x, y = ssm.simulate(jax.random.key(42), 50)
+    kf = kalman.Kalman(ssm=ssm, data=y)
+    kf.filter()
+    fk = ssms.Bootstrap(ssm=ssm, data=y)
+
+    for N in (100, 400):
+        smc_lls, sqmc_lls = [], []
+        for s in range(20):
+            pf = particles.SMC(fk=fk, N=N, key=jax.random.key(s))
+            pf.run()
+            smc_lls.append(float(pf.logLt))
+            pfq = particles.SMC(fk=fk, N=N, qmc=True,
+                                key=jax.random.key(1000 + s))
+            pfq.run()
+            sqmc_lls.append(float(pfq.logLt))
+        print(f"N={N:5d}: var(SMC logLt) = {np.var(smc_lls):.4f}   "
+              f"var(SQMC logLt) = {np.var(sqmc_lls):.4f}   "
+              f"gain {np.var(smc_lls) / np.var(sqmc_lls):5.1f}x   "
+              f"(exact {float(kf.logLt):.2f})")
+
+
+if __name__ == "__main__":
+    main()

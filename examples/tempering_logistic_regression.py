@@ -1,0 +1,58 @@
+"""Waste-free adaptive tempering for Bayesian logistic regression.
+
+TPU-native counterpart of the reference's smc_samplers recipes (and the
+Dau & Chopin 2022 waste-free experiments): posterior + marginal likelihood
+for logistic regression on the Pima dataset, with single-run variance
+estimates from the waste-free structure.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import particles_tpu as particles
+from particles_tpu import datasets
+from particles_tpu import distributions as dists
+from particles_tpu import smc_samplers as ssp
+
+
+class LogisticRegression(ssp.StaticModel):
+    """data rows are y_i * x_i (sign-flipped predictors)."""
+
+    def logpyt(self, theta, t):
+        lin = jnp.einsum("np,p->n", jnp.atleast_2d(
+            jnp.stack([theta[f"b{j}"] for j in range(self.data.shape[1])],
+                      axis=-1)
+        ), self.data[t])
+        return -jax.nn.softplus(-lin)
+
+
+def main():
+    ds = datasets.Pima()
+    data = jnp.asarray(ds.data, jnp.float32)
+    p = data.shape[1]
+    print(f"Pima: {data.shape[0]} observations, {p} predictors "
+          f"({'synthetic surrogate' if ds.synthetic else 'real data'})")
+
+    prior = dists.StructDist(
+        {f"b{j}": dists.Normal(scale=5.0 if j == 0 else 5.0) for j in range(p)}
+    )
+    model = LogisticRegression(data=data, prior=prior)
+
+    fk = ssp.AdaptiveTempering(model=model, len_chain=30, ESSrmin=0.5)
+    pf = particles.SMC(fk=fk, N=100, key=jax.random.key(0), verbose=True)
+    pf.run()
+
+    W = np.asarray(pf.wgts.W)
+    print(f"\nlog marginal likelihood: {float(pf.logLt):.3f} "
+          f"(path sampling: {float(pf.X.shared['path_sampling']):.3f})")
+    for j in range(min(p, 4)):
+        b = np.asarray(pf.X.theta[f"b{j}"])
+        v = ssp.var_wf(pf, lambda x, j=j: np.asarray(x.theta[f"b{j}"]))
+        print(f"  b{j}: posterior mean {np.sum(W * b):+.3f} "
+              f"(single-run MCSE {np.sqrt(v / b.shape[0]):.4f})")
+
+
+if __name__ == "__main__":
+    main()
