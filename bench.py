@@ -103,15 +103,16 @@ def measure_device():
         )
         return carry.logLt
 
-    # compile + warmup
-    logLt = run(fk, jax.random.key(0))
-    jax.block_until_ready(logLt)
-    # timed
-    start = time.perf_counter()
-    logLt = run(fk, jax.random.key(1))
-    jax.block_until_ready(logLt)
-    elapsed = time.perf_counter() - start
-    assert bool(jnp.isfinite(logLt))
+    # compile + warmup; force the value to host (the axon tunnel's
+    # block_until_ready can return before execution completes)
+    logLt = float(run(fk, jax.random.key(0)))
+    # timed (best of 2)
+    elapsed = float("inf")
+    for r in (1, 2):
+        start = time.perf_counter()
+        logLt = float(run(fk, jax.random.key(r)))
+        elapsed = min(elapsed, time.perf_counter() - start)
+    assert np.isfinite(logLt)
     return N * T / elapsed, elapsed
 
 
