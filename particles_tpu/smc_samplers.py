@@ -285,6 +285,9 @@ class ArrayMetropolis(ArrayMCMC):
         # filter state) so proposal and current system share one structure
         xprop = target(x.replace(theta=theta_from_2d(arr_prop, x.theta)))
         lp_acc = xprop.lpost - x.lpost + delta_lp
+        # NaN log-posteriors (e.g. proposals outside the prior support
+        # propagating through model recursions) mean "reject"
+        lp_acc = jnp.where(jnp.isnan(lp_acc), -jnp.inf, lp_acc)
         pb_acc = jnp.exp(jnp.clip(lp_acc, None, 0.0))
         accept = jax.random.uniform(k2, (x.N,)) < pb_acc
         return xprop.where(accept, x), jnp.mean(pb_acc)
@@ -732,6 +735,8 @@ def sampler_next(smc):
             smc._col_states, outs = smc.summaries.init_step(view)
             smc.summaries.append_step(outs)
     else:
+        if hasattr(fk, "maybe_exchange"):
+            fk.maybe_exchange(smc)
         step = _jitted_sampler_step(fk, smc.N, smc.resampling, smc.ESSrmin)
         carry, view = step(fk, smc._carry, jnp.int32(smc.t))
         if smc.summaries is not None:
@@ -830,8 +835,13 @@ class SMC2(FKSMCsampler):
     the current time (the reference's replay, smc_samplers.py:1129-1143) —
     expressed as a scan inside the move target.
 
-    The exchange step (Nx doubling, smc_samplers.py:1159-1163) requires a
-    shape change and is not yet implemented; pick Nx generously instead.
+    The exchange step (Nx doubling when MCMC acceptance drops below
+    ``ar_to_increase_Nx``, reference smc_samplers.py:1099-1108/1159-1163) is
+    host-controlled: the stepping engine calls :meth:`maybe_exchange` before
+    each step; on trigger, every inner filter is re-run from scratch at
+    2*Nx (one compiled replay) and the theta-weights are corrected by the
+    likelihood ratio — a controlled shape change + recompile, which happens
+    at most a handful of times per run.
     """
 
     def __init__(self, ssm_cls=None, prior=None, data=None, init_Nx=100,
@@ -974,3 +984,71 @@ class SMC2(FKSMCsampler):
             return xx.replace(xs=xs, lws=lws, loglik=ll, lpost=lpost)
 
         return target
+
+    # ------------------------------------------------------------------
+    # exchange step (Nx doubling)
+    # ------------------------------------------------------------------
+
+    def _replay_all(self, key, x, t, new_Nx):
+        """Re-run every theta-particle's inner filter from scratch with
+        ``new_Nx`` x-particles, processing observations 0..t-1 (masked
+        scan over the full horizon, so one compiled program per Nx)."""
+        data = self.data
+        N0 = x.N
+
+        def run_inner(key, theta_single):
+            x0, lw0, ll0 = self._inner_init(key, theta_single, new_Nx)
+
+            def body(carry, s):
+                xs, lws, ll = carry
+                k = jax.random.fold_in(key, s)
+                xs2, lws2, loglt = self._inner_step(k, theta_single, xs, lws, s)
+                live = s < t
+                xs2 = jnp.where(live, xs2, xs)
+                lws2 = jnp.where(live, lws2, lws)
+                ll = ll + jnp.where(live, loglt, 0.0)
+                return (xs2, lws2, ll), None
+
+            (xs, lws, ll), _ = jax.lax.scan(
+                body, (x0, lw0, ll0), jnp.arange(1, data.shape[0])
+            )
+            return xs, lws, ll
+
+        keys = jax.random.split(key, N0)
+
+        def one(i):
+            th_i = {p: x.theta[p][i] for p in x.theta}
+            return run_inner(keys[i], th_i)
+
+        return jax.vmap(one)(jnp.arange(N0))
+
+    def maybe_exchange(self, smc):
+        """Host-side hook called by the stepping engine before each step
+        (t >= 1): double Nx when the last move's acceptance rate is below
+        ``ar_to_increase_Nx``, correcting the theta log-weights by the
+        likelihood ratio of the new vs old inner filters."""
+        if self.ar_to_increase_Nx <= 0.0 or smc.t == 0:
+            return
+        if not bool(smc.rs_flag):
+            return  # only after an actual resample-move step
+        acc = float(smc.X.shared.get("acc_rate", 1.0))
+        if acc >= self.ar_to_increase_Nx:
+            return
+        x = smc._carry.X
+        new_Nx = 2 * x.xs.shape[-1]
+        smc.key, k = jax.random.split(smc.key)
+        replay = jax.jit(
+            lambda key, x, t: self._replay_all(key, x, t, new_Nx),
+            static_argnames=(),
+        )
+        xs, lws, ll_new = replay(k, x, jnp.int32(smc.t))
+        delta = ll_new - x.loglik
+        x = x.replace(
+            xs=xs, lws=lws, loglik=ll_new, lpost=x.lpost + delta
+        )
+        new_lw = smc._carry.lw + delta
+        smc._carry = smc._carry._replace(X=x, lw=new_lw)
+        smc.X = x
+        smc.wgts = rs.Weights(new_lw)
+        if smc.verbose:
+            print(f"t={smc.t}: exchange step, Nx -> {new_Nx}")

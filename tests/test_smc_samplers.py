@@ -253,3 +253,27 @@ class TestSMC2:
             means.append(np.sum(W * np.asarray(pf.X.theta["rho"])))
         assert abs(np.mean(logLts) - exact_ev) < 0.4, (np.mean(logLts), exact_ev)
         assert abs(np.mean(means) - exact_pmean) < 0.25, (np.mean(means), exact_pmean)
+
+
+class TestSMC2Exchange:
+    def test_exchange_doubles_nx_and_stays_sane(self):
+        true = kalman.LinearGauss(rho=0.8, sigmaX=1.0, sigmaY=0.5)
+        x, y = true.simulate(jax.random.key(0), 10)
+
+        class LGfixed(kalman.LinearGauss):
+            default_params = {
+                "sigmaY": 0.5, "rho": 0.9, "sigmaX": 1.0, "sigma0": None
+            }
+
+        prior = dists.StructDist({"rho": dists.Uniform(a=-0.99, b=0.99)})
+        # absurd threshold forces an exchange at every resample-move step
+        fk = ssp.SMC2(
+            ssm_cls=LGfixed, prior=prior, data=y, init_Nx=20, len_chain=3,
+            ar_to_increase_Nx=0.95,
+        )
+        pf = particles.SMC(fk=fk, N=40, key=jax.random.key(3))
+        pf.run()
+        assert pf.X.xs.shape[-1] > 20  # Nx was doubled at least once
+        assert np.isfinite(float(pf.logLt))
+        # weights stay sane after the likelihood-ratio correction
+        assert float(pf.wgts.ESS) > 1.0
