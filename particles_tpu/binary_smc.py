@@ -33,6 +33,7 @@ from particles_tpu import smc_samplers as ssps
 __all__ = [
     "all_binary_words",
     "Bernoulli",
+    "log_no_warn",
     "NestedLogistic",
     "BinaryMetropolis",
     "chol_and_friends",
@@ -52,7 +53,7 @@ def all_binary_words(p):
     return out.astype(bool)
 
 
-def _log_no_warn(x):
+def log_no_warn(x):
     return jnp.log(jnp.clip(x, 1e-30, None))
 
 
@@ -70,7 +71,7 @@ class Bernoulli(dists.ProbDist):
         return jax.random.uniform(key, (size,)) < self.p
 
     def logpdf(self, x):
-        return jnp.where(x, _log_no_warn(self.p), _log_no_warn(1.0 - self.p))
+        return jnp.where(x, log_no_warn(self.p), log_no_warn(1.0 - self.p))
 
 
 def corr_bin(pi, pj, pij):
@@ -114,7 +115,7 @@ class NestedLogistic(dists.DiscreteDist):
 
     def logpdf(self, x):
         probs = self._probs(x)
-        lp = jnp.where(x, _log_no_warn(probs), _log_no_warn(1.0 - probs))
+        lp = jnp.where(x, log_no_warn(probs), log_no_warn(1.0 - probs))
         return jnp.sum(lp, axis=1)
 
     @classmethod

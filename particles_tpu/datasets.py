@@ -32,6 +32,7 @@ from pathlib import Path
 import numpy as np
 
 __all__ = [
+    "get_path",
     "prepare_predictors",
     "Dataset",
     "LogReturnsDataset",
@@ -47,6 +48,15 @@ __all__ = [
     "Eeg",
     "Sonar",
 ]
+
+
+def get_path(file_name):
+    """First existing candidate path for a data file (reference
+    datasets.py:53-54); falls back to the package data dir."""
+    for c in _candidate_paths(file_name):
+        if c.exists():
+            return c
+    return Path(__file__).parent / "data" / file_name
 
 
 def _candidate_paths(file_name):

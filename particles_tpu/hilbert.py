@@ -16,7 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["hilbert_sort", "hilbert_array", "hilbert_index"]
+__all__ = ["hilbert_sort", "hilbert_array", "hilbert_index", "Hilbert_to_int"]
 
 
 def hilbert_index(coords, nbits):
@@ -134,3 +134,16 @@ def hilbert_sort(x, nbits=None):
     hi_perm = jnp.take(hi, order_lo)
     order = jnp.take(order_lo, jnp.argsort(hi_perm, stable=True))
     return order.astype(jnp.int32)
+
+
+def Hilbert_to_int(coords, nbits=None):
+    """Hilbert index of a single d-dimensional integer point (reference
+    hilbert.py:84-95), returned as a Python int."""
+    import numpy as np
+
+    c = jnp.asarray(np.asarray(coords, dtype=np.uint32)[None, :])
+    d = c.shape[1]
+    if nbits is None:
+        nbits = max(1, min(62 // d, 16))
+    hi, lo = hilbert_index(c, nbits)
+    return (int(hi[0]) << 32) | int(lo[0])

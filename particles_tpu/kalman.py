@@ -43,6 +43,12 @@ def dotdot(a, b, c):
     return jnp.dot(jnp.dot(a, b), c)
 
 
+def dotdotinv(a, b, c):
+    """a @ b @ inv(c) for symmetric positive c (reference kalman.py:160-162),
+    via a solve."""
+    return jnp.linalg.solve(c, jnp.dot(a, b).T).T
+
+
 def predict_step(F, covX, filt):
     """Predictive step: N(F m, F P F' + covX) (reference kalman.py:169-193).
 

@@ -25,7 +25,12 @@ from particles_tpu import smc_samplers as ssps
 from particles_tpu import utils
 
 __all__ = ["NestedSampling", "Nested_RWmoves", "NestedSamplingSMC",
-           "MeanCovTracker"]
+           "MeanCovTracker", "unif_minus_one"]
+
+
+def unif_minus_one(key, N, m):
+    """Uniform draw from {0..N-1} \\ {m} (reference nested.py:107-109)."""
+    return (jax.random.randint(key, (), m + 1, m + N) % N).astype(jnp.int32)
 
 
 def xxT(x):

@@ -61,6 +61,7 @@ __all__ = [
     "Var_phi",
     "Var_logLt",
     "view_2d_array",
+    "rec_to_dict",
     "SMC2",
 ]
 
@@ -126,6 +127,15 @@ class TemperingBridge(StaticModel):
 # ---------------------------------------------------------------------------
 # theta-particles container
 # ---------------------------------------------------------------------------
+
+def rec_to_dict(arr):
+    """Turn a single-particle theta into a plain dict (reference
+    smc_samplers.py:1030-1034 converts record arrays; our thetas already
+    are dicts, so this extracts scalars / passes through)."""
+    if isinstance(arr, dict):
+        return dict(arr)
+    return {k: arr[k] for k in getattr(arr, "dtype").names}
+
 
 def view_2d_array(theta):
     """Flatten a dict-of-arrays theta into an (N, d) matrix

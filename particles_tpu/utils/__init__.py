@@ -17,7 +17,8 @@ import jax
 
 from particles_tpu.utils.struct import KwPytree, Pytree  # noqa: F401
 
-__all__ = ["timer", "cartesian_args", "add_to_dict", "multiplexer", "Pytree", "KwPytree"]
+__all__ = ["timer", "cartesian_args", "add_to_dict", "multiplexer",
+           "distinct_seeds", "Pytree", "KwPytree"]
 
 
 def timer(method):
@@ -112,3 +113,13 @@ def multiplexer(f=None, nruns=1, seeding=None, key=None, nprocs=0,
             entry["output"] = out
             results.append(entry)
     return results
+
+
+def distinct_seeds(k):
+    """k distinct PRNG seeds (reference utils.py:189-202 draws stratified
+    seeds for joblib workers; with jax.random the right construction is
+    key-splitting — provided for API compatibility)."""
+    import numpy as _np
+
+    rng = _np.random.default_rng(0)
+    return rng.choice(2**31 - 1, size=k, replace=False)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from particles_tpu import collectors as col
 
-__all__ = ["var_estimate", "Var", "Var_logLt", "Lag_based_var"]
+__all__ = ["var_estimate", "Var", "Var_logLt", "Lag_based_var", "VarColMixin"]
 
 
 def _sum_over_branches(w_phi, B):
@@ -124,3 +124,7 @@ class Lag_based_var(col.Collector):
     def step(self, view, Abuf):
         Abuf = jnp.concatenate([Abuf[1:], view.A[None]], axis=0)
         return Abuf, self._estimates(view, Abuf)
+
+
+# reference-name alias (variance_estimators.py:142-147)
+VarColMixin = _EveMixin

@@ -15,6 +15,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = [
+    "autocovariance_fft_multiple",
+    "AutoCovarianceCalculator",
     "MCMC_variance",
     "MCMC_variance_weighted",
     "MCMC_variance_naive",
@@ -118,3 +120,41 @@ def MCMC_Tukey_Hanning(X, bias=True, adapt_constant=True):
                   for k in range(b)])
     w_cov = [w[i] * c[i] if i < P else 0.0 for i in range(1, b)]
     return w[0] * c[0] + 2 * np.sum(w_cov)
+
+
+def autocovariance_fft_multiple(X, mu=None, bias=True):
+    """(P,) autocovariances averaged over M chains (reference
+    variance_mcmc.py:82-91)."""
+    return _autocovariances_fft(X, mu=mu, bias=bias)
+
+
+def autocovariance(X, order, mu=None, bias=True):
+    """Single-lag autocovariance (reference variance_mcmc.py:57-65)."""
+    X = np.asarray(X, dtype=np.float64)
+    if mu is None:
+        mu = np.mean(X)
+    Xc = X - mu
+    P, _ = Xc.shape
+    val = np.mean(Xc[: P - order] * Xc[order:P])
+    return val * (P - order) / P if bias else val
+
+
+class AutoCovarianceCalculator:
+    """Lazily-computed autocovariances of (P, M) chains
+    (reference variance_mcmc.py:93-135)."""
+
+    def __init__(self, X, method=None, bias=True):
+        self.X = np.asarray(X, dtype=np.float64)
+        self.P, self.M = self.X.shape
+        self.bias = bias
+        self._cov = None
+
+    def __getitem__(self, k):
+        if k < 0 or k >= self.P:
+            raise IndexError
+        if self._cov is None:
+            self._cov = _autocovariances_fft(self.X, bias=self.bias)
+        return self._cov[k]
+
+    def __len__(self):
+        return self.P
