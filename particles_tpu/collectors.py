@@ -285,14 +285,15 @@ class Paris(OnlineSmootherMixin, Collector):
 
     def init(self, view):
         Phi = view.fk.add_func(0, None, view.X)
-        state = (Phi, view.X, view.wgts.lw, jax.random.key(987654321))
+        key = view.key if view.key is not None else jax.random.key(987654321)
+        state = (Phi, view.X, view.wgts.lw, key)
         return state, self._avg(Phi, view)
 
     def step(self, view, state):
         Phi = self.update(view, state)
         out = self._avg(Phi, view)
-        _, _, _, key = state
-        new_key = jax.random.fold_in(key, view.t)
+        new_key = (view.key if view.key is not None
+                   else jax.random.fold_in(state[3], view.t))
         return (Phi, view.X, view.wgts.lw, new_key), out
 
 

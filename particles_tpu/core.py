@@ -142,6 +142,7 @@ class StepView(NamedTuple):
     loglt: Any
     N: int
     ESSrmin: float
+    key: Any = None  # per-step subkey for stochastic collectors
 
     @property
     def W(self):
@@ -170,7 +171,7 @@ def _gather(X, A):
 
 def _step0(fk, key, N, qmc, summaries, ESSrmin, constrain=None):
     """Initial step, with concrete t=0 (outside any scan)."""
-    k0, knext = jax.random.split(key)
+    k0, k_col, knext = jax.random.split(key, 3)
     if qmc:
         from particles_tpu import rqmc
 
@@ -198,6 +199,7 @@ def _step0(fk, key, N, qmc, summaries, ESSrmin, constrain=None):
         loglt=loglt,
         N=N,
         ESSrmin=ESSrmin,
+        key=k_col,
     )
     if summaries is not None:
         states, outs = summaries.init_step(view)
@@ -242,7 +244,7 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
     steps (true for all filters; waste-free samplers use the
     always-resample path).
     """
-    key, k_rs, k_m = jax.random.split(carry.key, 3)
+    key, k_rs, k_m, k_col = jax.random.split(carry.key, 4)
     X, lw = carry.X, carry.lw
     wgts = rs.Weights(lw)
 
@@ -306,6 +308,7 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
     view = StepView(
         fk=fk, t=t, X=X_new, Xp=Xp, A=A, wgts=new_wgts, aux=aux,
         rs_flag=rs_flag, logLt=logLt, loglt=loglt, N=N, ESSrmin=ESSrmin,
+        key=k_col,
     )
     if summaries is not None:
         states, outs = summaries.step(view, carry.col_states)
@@ -330,7 +333,7 @@ def _step_qmc(fk, carry, h_order, t, N, ESSrmin, summaries,
     """
     from particles_tpu import hilbert, rqmc
 
-    key, k_u = jax.random.split(carry.key)
+    key, k_u, k_col = jax.random.split(carry.key, 3)
     X, lw = carry.X, carry.lw
     wgts = rs.Weights(lw)
     if fk.isAPF:
@@ -373,6 +376,7 @@ def _step_qmc(fk, carry, h_order, t, N, ESSrmin, summaries,
     view = StepView(
         fk=fk, t=t, X=X_new, Xp=Xp, A=A, wgts=new_wgts, aux=aux,
         rs_flag=rs_flag, logLt=logLt, loglt=loglt, N=N, ESSrmin=ESSrmin,
+        key=k_col,
     )
     if summaries is not None:
         states, outs = summaries.step(view, carry.col_states)
@@ -757,18 +761,26 @@ def multiSMC(
         qmc_v = values.pop("qmc")
         scheme_v = values.pop("resampling")
         essrmin_v = values.pop("ESSrmin")
+        store_hist_v = bool(values.pop("store_history", False))
+        if values:
+            raise ValueError(
+                f"multiSMC: unsupported option(s) {sorted(values)}; supported "
+                "options are fk, N, qmc, resampling, ESSrmin, store_history "
+                "(each possibly list/dict-valued), plus nruns/collect/key"
+            )
         summaries = collectors.Summaries(collect) if collect != "off" else None
         T = int(fk_v.T)
 
         def single(fk_obj, k):
-            carry, outs, _ = _run_full(
-                fk_obj, k, N_v, T, qmc_v, scheme_v, essrmin_v, summaries, False
+            carry, outs, hist = _run_full(
+                fk_obj, k, N_v, T, qmc_v, scheme_v, essrmin_v, summaries,
+                store_hist_v,
             )
-            return carry.logLt, outs, carry.lw
+            return carry.logLt, outs, carry.lw, hist
 
-        logLts, outs, lws = jax.jit(jax.vmap(single, in_axes=(None, 0)))(
-            fk_v, keys
-        )
+        logLts, outs, lws, hists = jax.jit(
+            jax.vmap(single, in_axes=(None, 0))
+        )(fk_v, keys)
         names = (
             [c.summary_name for c in summaries._collectors]
             if summaries is not None
@@ -780,6 +792,13 @@ def multiSMC(
                 for name, out in zip(names, outs)
             }
             res = SMCResult(logLts[r], sm, lw=lws[r])
+            if store_hist_v:
+                from particles_tpu.smoothing import ParticleHistory
+
+                res.hist = ParticleHistory(
+                    fk_v,
+                    *jax.tree_util.tree_map(lambda h: h[r], hists),
+                )
             out_obj = res if out_func is None else out_func(res)
             entry = {k: labels[k] for k in varying_keys}
             entry["run"] = r

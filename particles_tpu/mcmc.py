@@ -183,10 +183,13 @@ class GenericRWHM(MCMC):
 
         def body(state, k):
             theta_vec, lpost, trk, nacc = state
-            k1, k2 = jax.random.split(k)
+            k1, k2, keval = jax.random.split(k, 3)
             L = scale * trk.L if adaptive else self.fixed_L
             z = jax.random.normal(k1, (self.dim,))
             prop_vec = theta_vec + L @ z
+            # subclasses whose logpost is stochastic (PMMH: an inner particle
+            # filter) read a fresh key from self._eval_key
+            self._eval_key = keval
             lpost_prop = self.logpost(_vec_to_dict(prop_vec, self.template))
             lu = jnp.log(jax.random.uniform(k2, ()))
             accept = lu < (lpost_prop - lpost)
@@ -212,13 +215,14 @@ class GenericRWHM(MCMC):
     @utils.timer
     def run(self):
         """Run the whole chain as one compiled program."""
-        k0, kchain = jax.random.split(self.key)
+        k0, keval0, kchain = jax.random.split(self.key, 3)
         if self.theta0 is None:
             th0 = {k: v[0] for k, v in self.prior.rvs(k0, size=1).items()}
         else:
             th0 = {k: jnp.asarray(v) for k, v in self.theta0.items()}
         th0_vec = _dict_to_vec(th0)
-        lpost0 = self.logpost(_vec_to_dict(th0_vec, self.template))
+        self._eval_key = keval0
+        lpost0 = jax.jit(self.logpost)(_vec_to_dict(th0_vec, self.template))
 
         runner = jax.jit(self._chain_scan)
         thetas, lposts, nacc = runner(kchain, th0_vec, lpost0)
@@ -306,67 +310,13 @@ class PMMH(GenericRWHM):
         # fresh PF randomness per evaluation: fold the log-prior bits in
         # (the scan body supplies fresh keys through self._eval_key)
         key = self._eval_key
+        neg_inf = jnp.asarray(-jnp.inf, dtype=jnp.result_type(float))
         loglik = jax.lax.cond(
             jnp.isfinite(lprior),
-            lambda: self._pf_logLt(key, theta),
-            lambda: jnp.float32(-jnp.inf),
+            lambda: self._pf_logLt(key, theta).astype(neg_inf.dtype),
+            lambda: neg_inf,
         )
         return lprior + loglik
-
-    def _chain_scan(self, key, theta0_vec, lpost0):
-        # wrap the parent scan with per-iteration PF keys
-        adaptive = self.adaptive
-        tracker = self.cov_tracker if adaptive else None
-        scale = self.scale
-
-        def body(state, k):
-            theta_vec, lpost, trk, nacc = state
-            k1, k2, kpf = jax.random.split(k, 3)
-            L = scale * trk.L if adaptive else self.fixed_L
-            z = jax.random.normal(k1, (self.dim,))
-            prop_vec = theta_vec + L @ z
-            self._eval_key = kpf
-            lpost_prop = self.logpost(_vec_to_dict(prop_vec, self.template))
-            lu = jnp.log(jax.random.uniform(k2, ()))
-            accept = lu < (lpost_prop - lpost)
-            theta_vec = jnp.where(accept, prop_vec, theta_vec)
-            lpost = jnp.where(accept, lpost_prop, lpost)
-            if adaptive:
-                trk = tracker.update(trk, theta_vec)
-            nacc = nacc + accept.astype(jnp.int32)
-            return (theta_vec, lpost, trk, nacc), (theta_vec, lpost)
-
-        trk0 = (self.cov_tracker.init_state() if adaptive
-                else _TrackerState(jnp.int32(0), jnp.zeros(self.dim),
-                                   jnp.eye(self.dim), jnp.eye(self.dim),
-                                   jnp.eye(self.dim)))
-        keys = jax.random.split(key, self.niter - 1)
-        (thf, lpf, trk, nacc), (thetas, lposts) = jax.lax.scan(
-            body, (theta0_vec, lpost0, trk0, jnp.int32(0)), keys
-        )
-        all_thetas = jnp.concatenate([theta0_vec[None], thetas], axis=0)
-        all_lposts = jnp.concatenate([lpost0[None], lposts], axis=0)
-        return all_thetas, all_lposts, nacc
-
-    @utils.timer
-    def run(self):
-        k0, kpf0, kchain = jax.random.split(self.key, 3)
-        if self.theta0 is None:
-            th0 = {k: v[0] for k, v in self.prior.rvs(k0, size=1).items()}
-        else:
-            th0 = {k: jnp.asarray(v) for k, v in self.theta0.items()}
-        th0_vec = _dict_to_vec(th0)
-        self._eval_key = kpf0
-        lpost0 = jax.jit(self.logpost)(_vec_to_dict(th0_vec, self.template))
-        runner = jax.jit(self._chain_scan)
-        thetas, lposts, nacc = runner(kchain, th0_vec, lpost0)
-        jax.block_until_ready(lposts)
-        self.chain = ssp.ThetaParticles(
-            theta=jax.vmap(lambda v: _vec_to_dict(v, self.template))(thetas),
-            lpost=lposts,
-        )
-        self.nacc = int(nacc)
-
 
 # ---------------------------------------------------------------------------
 # conditional SMC and Particle Gibbs

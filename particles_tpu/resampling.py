@@ -488,9 +488,10 @@ def _merge_rank_counts(su, cs, M):
     is_cs = jnp.concatenate(
         [jnp.ones(N, jnp.int32), jnp.zeros(su.shape[0], jnp.int32)]
     )
-    # sort pairs; for ties su (0) sorts before cs (1) with key2 — matching
-    # the convention su_j <= cs_i counts
-    sorted_key, sorted_iscs = jax.lax.sort((both, is_cs), num_keys=1)
+    # two sort keys: on exact value ties, su (flag 0) sorts before cs
+    # (flag 1) so that su_j == cs_i counts as su_j <= cs_i, matching
+    # inverse_cdf's searchsorted(side='left') convention
+    sorted_key, sorted_iscs = jax.lax.sort((both, is_cs), num_keys=2)
     n_su_before = jnp.cumsum(1 - sorted_iscs)
     rank_among_cs = jnp.cumsum(sorted_iscs) - 1
     target = jnp.where(sorted_iscs == 1, rank_among_cs, N)

@@ -41,6 +41,7 @@ from particles_tpu import variance_mcmc
 from particles_tpu.utils.struct import Pytree
 
 __all__ = [
+    "SamplerHistory",
     "StaticModel",
     "TemperingBridge",
     "ThetaParticles",
@@ -725,6 +726,25 @@ def _jitted_sampler_step(fk, N, scheme, ESSrmin):
     return _sampler_jit_cache[cache_key]
 
 
+class SamplerHistory:
+    """History of an SMC sampler run: the ThetaParticles system and Weights
+    at each time (counterpart of the reference storing ThetaParticles
+    objects in ``ParticleHistory``; samplers have no genealogy use here, so
+    plain per-time lists)."""
+
+    def __init__(self):
+        self.X = []
+        self.wgts = []
+
+    @property
+    def T(self):
+        return len(self.X)
+
+    def save(self, X, wgts):
+        self.X.append(X)
+        self.wgts.append(wgts)
+
+
 def sampler_next(smc):
     """One step of an SMC sampler; called from ``core.SMC.__next__``.
 
@@ -761,6 +781,10 @@ def sampler_next(smc):
     smc.rs_flag = view.rs_flag
     smc.logLt = view.logLt
     smc.loglt = view.loglt
+    if smc.hist_option is True:
+        if smc.t == 0:
+            smc.hist = SamplerHistory()
+        smc.hist.save(view.X, view.wgts)
     if smc.verbose:
         print(fk.summary_format(smc))
     smc.t += 1
@@ -925,9 +949,21 @@ class SMC2(FKSMCsampler):
         cal = self.move.calibrate(jnp.full(N0, 1.0 / N0), x)
         return x.with_shared(acc_rate=jnp.float32(0.0), **cal)
 
+    @property
+    def _Nx(self):
+        raise AttributeError  # use x.xs.shape[1]
+
     def logG_and_update(self, t, x):
         """Advance every inner filter one step; potential = incremental
-        likelihood (reference smc_samplers.py:1099-1120)."""
+        likelihood (reference smc_samplers.py:1099-1120).
+
+        At outer time 0 the inner filters' time-0 reweighting (observation
+        y_0) was already performed by ``_M0``'s ``_inner_init``; the
+        potential is that stored increment and the filters must NOT advance
+        again (the engine guarantees a concrete Python t=0 there).
+        """
+        if isinstance(t, int) and t == 0:
+            return x.loglik, x
         N0 = x.N
         keys = jax.vmap(jax.random.fold_in)(x.pf_key, jnp.broadcast_to(t, (N0,)))
         step_keys = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
@@ -948,34 +984,32 @@ class SMC2(FKSMCsampler):
         )
         return loglt, x
 
+    def _replay_one(self, key, theta_single, t, Nx):
+        """Re-run ONE theta's inner filter from scratch, processing
+        observations 0..t-1 (masked full-horizon scan, one compiled program
+        per Nx).  Shared by the MCMC move target and the exchange step."""
+        x0, lw0, ll0 = self._inner_init(key, theta_single, Nx)
+
+        def body(carry, s):
+            xs, lws, ll = carry
+            k = jax.random.fold_in(key, s)
+            xs2, lws2, loglt = self._inner_step(k, theta_single, xs, lws, s)
+            live = s < t
+            xs2 = jnp.where(live, xs2, xs)
+            lws2 = jnp.where(live, lws2, lws)
+            ll = ll + jnp.where(live, loglt, 0.0)
+            return (xs2, lws2, ll), None
+
+        (xs, lws, ll), _ = jax.lax.scan(
+            body, (x0, lw0, ll0), jnp.arange(1, self.data.shape[0])
+        )
+        return xs, lws, ll
+
     def move_target(self, t, x):
         """Target for MCMC on theta at time t: prior(theta) * Z_t^{Nx}(theta)
         — rebuilding each proposed theta's inner filter from scratch up to
         time t-1 (the replay, reference smc_samplers.py:1129-1143)."""
-        data = self.data
-        Nx = x.xs.shape[-1]
-        T_now = t  # replay observations 0..t-1
-
-        def run_inner(key, theta_single):
-            x0, lw0, ll0 = self._inner_init(key, theta_single, Nx)
-
-            def body(carry, s):
-                xs, lws, ll = carry
-                k = jax.random.fold_in(key, s)
-                xs2, lws2, loglt = self._inner_step(
-                    k, theta_single, xs, lws, s
-                )
-                # mask steps beyond t-1
-                live = s < T_now
-                xs2 = jnp.where(live, xs2, xs)
-                lws2 = jnp.where(live, lws2, lws)
-                ll = ll + jnp.where(live, loglt, 0.0)
-                return (xs2, lws2, ll), None
-
-            (xs, lws, ll), _ = jax.lax.scan(
-                body, (x0, lw0, ll0), jnp.arange(1, data.shape[0])
-            )
-            return xs, lws, ll
+        Nx = x.xs.shape[1]  # xs is (Ntheta, Nx[, dx])
 
         def target(xx):
             N0 = xx.N
@@ -987,7 +1021,7 @@ class SMC2(FKSMCsampler):
 
             def one(i):
                 th_i = {p: xx.theta[p][i] for p in xx.theta}
-                return run_inner(keys[i], th_i)
+                return self._replay_one(keys[i], th_i, t, Nx)
 
             xs, lws, ll = jax.vmap(one)(jnp.arange(N0))
             lpost = self.prior.logpdf(xx.theta) + ll
@@ -1000,35 +1034,14 @@ class SMC2(FKSMCsampler):
     # ------------------------------------------------------------------
 
     def _replay_all(self, key, x, t, new_Nx):
-        """Re-run every theta-particle's inner filter from scratch with
-        ``new_Nx`` x-particles, processing observations 0..t-1 (masked
-        scan over the full horizon, so one compiled program per Nx)."""
-        data = self.data
+        """Re-run every theta-particle's inner filter with ``new_Nx``
+        x-particles up to time t-1 (see :meth:`_replay_one`)."""
         N0 = x.N
-
-        def run_inner(key, theta_single):
-            x0, lw0, ll0 = self._inner_init(key, theta_single, new_Nx)
-
-            def body(carry, s):
-                xs, lws, ll = carry
-                k = jax.random.fold_in(key, s)
-                xs2, lws2, loglt = self._inner_step(k, theta_single, xs, lws, s)
-                live = s < t
-                xs2 = jnp.where(live, xs2, xs)
-                lws2 = jnp.where(live, lws2, lws)
-                ll = ll + jnp.where(live, loglt, 0.0)
-                return (xs2, lws2, ll), None
-
-            (xs, lws, ll), _ = jax.lax.scan(
-                body, (x0, lw0, ll0), jnp.arange(1, data.shape[0])
-            )
-            return xs, lws, ll
-
         keys = jax.random.split(key, N0)
 
         def one(i):
             th_i = {p: x.theta[p][i] for p in x.theta}
-            return run_inner(keys[i], th_i)
+            return self._replay_one(keys[i], th_i, t, new_Nx)
 
         return jax.vmap(one)(jnp.arange(N0))
 
@@ -1045,7 +1058,7 @@ class SMC2(FKSMCsampler):
         if acc >= self.ar_to_increase_Nx:
             return
         x = smc._carry.X
-        new_Nx = 2 * x.xs.shape[-1]
+        new_Nx = 2 * x.xs.shape[1]
         smc.key, k = jax.random.split(smc.key)
         replay = jax.jit(
             lambda key, x, t: self._replay_all(key, x, t, new_Nx),

@@ -357,7 +357,13 @@ class ParticleHistory:
         # final time: inverse-CDF in Hilbert order
         hT = self.h_orders[-1]
         WT = jnp.take(self.wgts.W, hT)
-        idx = rs.inverse_cdf(jnp.sort(u[:, -1]), WT)
+        # searchsorted-style lookup of the UNSORTED final coordinates keeps
+        # each trajectory's Sobol coordinates paired across time
+        # (reference smoothing.py:440-442)
+        csT = jnp.cumsum(WT)
+        idx = jnp.clip(
+            jnp.searchsorted(csT, u[:, -1], side="left"), 0, self.N - 1
+        ).astype(jnp.int32)
         idx_T = jnp.take(hT, idx)
 
         def body(idx_next, inputs):

@@ -277,3 +277,32 @@ class TestSMC2Exchange:
         assert np.isfinite(float(pf.logLt))
         # weights stay sane after the likelihood-ratio correction
         assert float(pf.wgts.ESS) > 1.0
+
+
+class TestSMC2InnerLoglik:
+    def test_inner_loglik_unbiased(self):
+        """Regression test for the y_0 double-count: at a near-Dirac prior,
+        the inner filters' accumulated loglik must be unbiased for the exact
+        Kalman logLt."""
+        true = kalman.LinearGauss(rho=0.8, sigmaX=1.0, sigmaY=0.5)
+        x, y = true.simulate(jax.random.key(0), 5)
+
+        class LGfixed(kalman.LinearGauss):
+            default_params = {
+                "sigmaY": 0.5, "rho": 0.8, "sigmaX": 1.0, "sigma0": None
+            }
+
+        kf = kalman.Kalman(ssm=LGfixed(), data=y)
+        kf.filter()
+        exact = float(kf.logLt)
+        prior = dists.StructDist({"rho": dists.Uniform(a=0.7999, b=0.8001)})
+        lls = []
+        for s in range(10):
+            fk = ssp.SMC2(
+                ssm_cls=LGfixed, prior=prior, data=y, init_Nx=2000,
+                len_chain=2,
+            )
+            pf = particles.SMC(fk=fk, N=5, key=jax.random.key(s))
+            pf.run()
+            lls.append(float(jnp.mean(pf.X.loglik)))
+        assert abs(np.mean(lls) - exact) < 0.05, (np.mean(lls), exact)
