@@ -405,7 +405,7 @@ class ParticleHistory:
         """Two-filter smoothing estimate of E[phi(X_t, X_{t+1}) | y_{0:T-1}]
         (reference smoothing.py:487-525)."""
         ti = self.T - 2 - t
-        if t < 0 or t >= self.T - 1:
+        if isinstance(t, int) and not (0 <= t < self.T - 1):
             raise ValueError("two-filter smoothing: t must be in 0..T-2")
         Xinfo = jax.tree_util.tree_map(lambda l: l[ti], info.hist.X)
         lwinfo = info.hist.lw[ti] - loggamma(Xinfo)
@@ -512,37 +512,33 @@ def smoothing_worker(method=None, N=100, fk=None, fk_info=None,
     elif method in ["two-filter_ON2", "two-filter_ON", "two-filter_ON_prop"]:
         infopf = particles.SMC(fk=fk_info, N=N, store_history=True, key=k_info)
         infopf.run()
-        ests = []
-        for t in range(T - 1):
+
+        # one compiled body for all t (lax.map), instead of one jit per t
+        def est_at(t):
             psi = lambda x, xf: add_func(t, x, xf)
             if method == "two-filter_ON2":
-                ests.append(
-                    pf.hist.two_filter_smoothing(t, infopf, psi, log_gamma)
+                return pf.hist.two_filter_smoothing(t, infopf, psi, log_gamma)
+            ti = T - 2 - t
+            if method == "two-filter_ON_prop":
+                import jax.scipy.stats as jss
+
+                Xi1 = infopf.hist.X[ti + 1]
+                modif_fwd = jss.norm.logpdf(
+                    pf.hist.X[t], loc=jnp.mean(Xi1), scale=jnp.std(Xi1)
+                )
+                Xf1 = pf.hist.X[t + 1]
+                modif_info = jss.norm.logpdf(
+                    infopf.hist.X[ti], loc=jnp.mean(Xf1), scale=jnp.std(Xf1)
                 )
             else:
-                ti = T - 2 - t
-                if method == "two-filter_ON_prop":
-                    import jax.scipy.stats as jss
+                modif_fwd, modif_info = None, None
+            return pf.hist.two_filter_smoothing(
+                t, infopf, psi, log_gamma, linear_cost=True,
+                modif_forward=modif_fwd, modif_info=modif_info,
+                key=jax.random.fold_in(k_bs, t),
+            )
 
-                    Xi1 = infopf.hist.X[ti + 1]
-                    modif_fwd = jss.norm.logpdf(
-                        pf.hist.X[t], loc=jnp.mean(Xi1), scale=jnp.std(Xi1)
-                    )
-                    Xf1 = pf.hist.X[t + 1]
-                    modif_info = jss.norm.logpdf(
-                        infopf.hist.X[ti], loc=jnp.mean(Xf1),
-                        scale=jnp.std(Xf1),
-                    )
-                else:
-                    modif_fwd, modif_info = None, None
-                ests.append(
-                    pf.hist.two_filter_smoothing(
-                        t, infopf, psi, log_gamma, linear_cost=True,
-                        modif_forward=modif_fwd, modif_info=modif_info,
-                        key=jax.random.fold_in(k_bs, t),
-                    )
-                )
-        est = jnp.stack(ests)
+        est = jax.lax.map(est_at, jnp.arange(T - 1))
     else:
         raise ValueError(f"smoothing_worker: no such method {method}")
     jax.block_until_ready(est)
