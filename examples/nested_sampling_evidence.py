@@ -1,0 +1,55 @@
+"""Evidence estimation: vanilla nested sampling vs NS-SMC vs adaptive
+tempering, on a conjugate Gaussian model with known evidence."""
+
+import numpy as np
+import scipy.stats as st
+
+import jax
+
+import particles_tpu as particles
+from particles_tpu import distributions as dists
+from particles_tpu import nested
+from particles_tpu import smc_samplers as ssp
+
+
+class GaussianMean(ssp.StaticModel):
+    def logpyt(self, theta, t):
+        return dists.Normal(loc=theta["mu"], scale=1.0).logpdf(self.data[t])
+
+
+def main():
+    rng = np.random.default_rng(1)
+    T = 20
+    y = rng.normal(loc=1.0, size=T).astype(np.float32)
+    prior = dists.StructDist({"mu": dists.Normal(loc=0.0, scale=1.0)})
+    model = GaussianMean(data=y, prior=prior)
+    exact = st.multivariate_normal(
+        np.zeros(T), np.eye(T) + np.ones((T, T))
+    ).logpdf(y)
+    print(f"exact log-evidence: {exact:.3f}\n")
+
+    ns = nested.Nested_RWmoves(model=model, N=200, nsteps=5,
+                               key=jax.random.key(0))
+    ns.run()
+    print(f"vanilla NS          : {ns.lZhats[-1]:8.3f} "
+          f"({len(ns.lZhats)} contractions)")
+
+    pf = particles.SMC(
+        fk=nested.NestedSamplingSMC(model=model, len_chain=5, ESSrmin=0.3),
+        N=300, key=jax.random.key(1),
+    )
+    pf.run()
+    print(f"NS-SMC              : {float(pf.X.shared['log_evid']):8.3f} "
+          f"({pf.t} levels)")
+
+    pf2 = particles.SMC(
+        fk=ssp.AdaptiveTempering(model=model, len_chain=5), N=300,
+        key=jax.random.key(2),
+    )
+    pf2.run()
+    print(f"adaptive tempering  : {float(pf2.logLt):8.3f} "
+          f"({pf2.t} tempering steps)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Bayesian variable selection on the Boston housing dataset via binary SMC.
+
+TPU-native counterpart of the reference's papers/binary* experiments:
+adaptive tempering on {0,1}^p with a nested-logistic independent proposal
+(fitted by masked ridge-IRLS instead of sklearn), marginal likelihoods via
+one batched masked Cholesky per evaluation.
+"""
+
+import numpy as np
+
+import jax
+
+import particles_tpu as particles
+from particles_tpu import binary_smc as bin_smc
+from particles_tpu import datasets
+from particles_tpu import distributions as dists
+from particles_tpu import smc_samplers as ssp
+
+
+def main():
+    ds = datasets.Boston()
+    X, y = ds.data
+    y = y - y.mean()
+    p = X.shape[1]
+    print(f"Boston: n={X.shape[0]}, p={p} "
+          f"({'synthetic surrogate' if ds.synthetic else 'real data'})")
+
+    prior = dists.StructDist({"gamma": dists.IID(bin_smc.Bernoulli(p=0.5), p)})
+    model = bin_smc.BayesianVS(data=(X, y), prior=prior)
+
+    move = ssp.MCMCSequenceWF(mcmc=bin_smc.BinaryMetropolis(), len_chain=5)
+    fk = ssp.AdaptiveTempering(model=model, len_chain=5, move=move,
+                               ESSrmin=0.5)
+    pf = particles.SMC(fk=fk, N=400, key=jax.random.key(0), verbose=True)
+    pf.run()
+
+    W = np.asarray(pf.wgts.W)
+    g = np.asarray(pf.X.theta["gamma"], dtype=np.float64)
+    incl = g.T @ W
+    print(f"\nlog marginal likelihood: {float(pf.logLt):.2f}")
+    print("posterior inclusion probabilities:")
+    order = np.argsort(-incl)
+    for j in order[:8]:
+        print(f"  predictor {j:2d}: {incl[j]:.3f}")
+
+
+if __name__ == "__main__":
+    main()

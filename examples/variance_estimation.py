@@ -1,0 +1,43 @@
+"""Single-run variance estimates: genealogy-based (Chan & Lai / Lee &
+Whiteley) and lag-based (Olsson & Douc) estimators vs the empirical
+variance over independent runs.
+
+Counterpart of the reference's variance_estimation notebook experiments.
+"""
+
+import numpy as np
+
+import jax
+
+import particles_tpu as particles
+from particles_tpu import kalman
+from particles_tpu import state_space_models as ssms
+from particles_tpu import variance_estimators as var_est
+
+
+def main():
+    ssm = kalman.LinearGauss(rho=0.9, sigmaX=1.0, sigmaY=0.3)
+    x, y = ssm.simulate(jax.random.key(0), 30)
+    fk = ssms.Bootstrap(ssm=ssm, data=y)
+    N, nruns = 500, 50
+
+    single_run_ests, logLts, mean_ests = [], [], []
+    for s in range(nruns):
+        pf = particles.SMC(
+            fk=fk, N=N, key=jax.random.key(s),
+            collect=[var_est.Var_logLt(), var_est.Var()],
+        )
+        pf.run()
+        single_run_ests.append(float(pf.summaries.var_logLt[-1]))
+        logLts.append(float(pf.logLt))
+        W = np.asarray(pf.wgts.W)
+        mean_ests.append(float(np.sum(W * np.asarray(pf.X))))
+
+    print(f"var(logLt):   empirical over {nruns} runs = {np.var(logLts):.5f}")
+    print(f"              mean single-run estimate    = "
+          f"{np.mean(single_run_ests):.5f}")
+    print(f"filter mean:  empirical var  = {np.var(mean_ests):.6f}")
+
+
+if __name__ == "__main__":
+    main()

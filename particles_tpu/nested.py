@@ -92,45 +92,65 @@ class NestedSampling:
     def _mutate_kernel(self, key, arr, lprior, llik, n, m):
         raise NotImplementedError
 
-    def step(self):
-        self.key, k = jax.random.split(self.key)
-        n = int(jnp.argmin(self.llik))
-        point_llik = self.llik[n]
-        point_theta = self.arr[n]
-        self.points_llik.append(point_llik)
-        self.points_theta.append(point_theta)
-        m = int(jax.random.randint(
-            jax.random.fold_in(k, 1), (), n + 1, n + self.N
-        ) % self.N)
-        self.arr, self.lprior, self.llik = self._jitted_mutate(
-            k, self.arr, self.lprior, self.llik, jnp.int32(n), jnp.int32(m)
-        )
+    def _chunk(self, key, arr, lprior, llik, lZ, i0, K):
+        """K contractions (delete-lowest + constrained mutation + streaming
+        evidence update) in ONE compiled call — the per-contraction host
+        round-trip otherwise dominates on an accelerator."""
+        lw0 = jnp.log(1.0 - jnp.exp(-1.0 / self.N))
 
-    def stopping_time(self):
-        return abs(float(self.lZhats[-1]) - float(self.lZhats[-2])) < self.eps
+        def body(c, j):
+            arr, lprior, llik, lZ, key = c
+            key, k = jax.random.split(key)
+            n = jnp.argmin(llik)
+            pt_ll = llik[n]
+            pt_th = arr[n]
+            i = i0 + j
+            lw = lw0 - i.astype(jnp.float32) / self.N
+            lZ = jnp.logaddexp(lZ, lw + pt_ll)
+            m = (jax.random.randint(
+                jax.random.fold_in(k, 1), (), n + 1, n + self.N
+            ) % self.N).astype(jnp.int32)
+            arr, lprior, llik = self._mutate_kernel(
+                k, arr, lprior, llik, n, m
+            )
+            return (arr, lprior, llik, lZ, key), (pt_ll, pt_th, lZ)
+
+        (arr, lprior, llik, lZ, _), (pll, pth, lZs) = jax.lax.scan(
+            body, (arr, lprior, llik, lZ, key), jnp.arange(K)
+        )
+        return arr, lprior, llik, lZ, pll, pth, lZs
 
     @utils.timer
-    def run(self):
+    def run(self, chunk_size=None):
         self.setup()
-        self._jitted_mutate = jax.jit(self._mutate_kernel)
-        self.points_llik, self.points_theta = [], []
-        self.log_weights = [float(np.log(1.0 - np.exp(-1.0 / self.N)))]
-        self.step()
-        self.lZhats = [self.log_weights[0] + float(self.points_llik[0])]
+        K = max(self.N // 2, 10) if chunk_size is None else chunk_size
+        chunk = jax.jit(self._chunk, static_argnames=("K",))
+        lZ = jnp.float32(-jnp.inf)
+        i0 = 0
+        plls, pths, lZs_all = [], [], []
         while True:
-            self.step()
-            b = self.log_weights[-1] + float(self.points_llik[-1])
-            self.lZhats.append(
-                float(rs.log_sum_exp_ab(jnp.float32(self.lZhats[-1]),
-                                        jnp.float32(b)))
+            self.key, k = jax.random.split(self.key)
+            self.arr, self.lprior, self.llik, lZ, pll, pth, lZs = chunk(
+                k, self.arr, self.lprior, self.llik, lZ, jnp.int32(i0), K=K
             )
-            if self.stopping_time():
+            plls.append(pll)
+            pths.append(pth)
+            lZs_all.append(lZs)
+            i0 += K
+            # stop when the evidence gained over the last chunk is negligible
+            if abs(float(lZs[-1]) - float(lZs[0])) < self.eps:
                 break
-            self.log_weights.append(self.log_weights[-1] - 1.0 / self.N)
+            if i0 > 1000 * self.N:  # safety bound
+                break
+        self.lZhats = list(np.asarray(jnp.concatenate(lZs_all)))
         self.points = {
-            "llik": jnp.stack(self.points_llik),
-            "theta": jnp.stack(self.points_theta),
+            "llik": jnp.concatenate(plls),
+            "theta": jnp.concatenate(pths),
         }
+        self.log_weights = [
+            float(np.log(1.0 - np.exp(-1.0 / self.N)) - i / self.N)
+            for i in range(len(self.lZhats))
+        ]
 
 
 class Nested_RWmoves(NestedSampling):
