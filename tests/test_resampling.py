@@ -256,3 +256,40 @@ class TestMultinomialQueue:
         assert int(jnp.max(b)) < 20
         with pytest.raises(ValueError):
             q.dequeue(25)
+
+
+class TestRepeatKernels:
+    @pytest.mark.parametrize("N", [2048, 8192])
+    def test_v2_matches_jnp_repeat(self, N):
+        """The experimental row-granular kernel agrees with jnp.repeat
+        (runs in interpret mode on CPU)."""
+        from jax.experimental import pallas as pl
+        import particles_tpu.ops.repeat_kernel_v2 as rk2
+
+        orig = pl.pallas_call
+
+        def patched(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        rk2.pl.pallas_call = patched
+        try:
+            rng = np.random.default_rng(N)
+            W = rng.dirichlet(np.ones(N) * 0.2).astype(np.float32)
+            x = jnp.asarray(rng.normal(size=N), jnp.float32)
+            cs = np.cumsum(W)
+            cs /= cs[-1]
+            z = np.clip(np.floor(N * cs - 0.37).astype(np.int32) + 1, 0, N)
+            z[-1] = N
+            counts = jnp.asarray(np.diff(z, prepend=0).astype(np.int32))
+            ref = jnp.repeat(x, counts, total_repeat_length=N)
+            got = rk2.repeat_by_counts_v2(x, counts, N)
+            assert bool(jnp.all(ref == got))
+            for pos in (0, 5, N // 2, N - 1):
+                c2 = jnp.zeros(N, jnp.int32).at[pos].set(N)
+                g = rk2.repeat_by_counts_v2(x, c2, N)
+                assert bool(
+                    jnp.all(jnp.repeat(x, c2, total_repeat_length=N) == g)
+                ), pos
+        finally:
+            rk2.pl.pallas_call = orig
