@@ -593,6 +593,88 @@ class SMC:
     def __iter__(self):
         return self
 
+    # ------------------------------------------------------------------
+    # checkpoint / resume
+    # ------------------------------------------------------------------
+
+    def save_state(self, path):
+        """Checkpoint a (partially) run algorithm to ``path`` (pickle).
+
+        The reference's substitute for checkpointing is the in-process
+        iterator protocol (SURVEY.md §5); with a pytree carry, serialising
+        the state is trivial.  Valid in step-by-step mode (after at least
+        one ``next``); reload with :meth:`load_state` on an ``SMC`` object
+        constructed with the same model/configuration.
+        """
+        import pickle
+
+        import numpy as np
+
+        if self._carry is None:
+            raise ValueError("save_state: nothing to save (run a step first)")
+
+        def to_np(leaf):
+            # typed PRNG keys cannot round-trip through numpy directly
+            if hasattr(leaf, "dtype") and jnp.issubdtype(
+                leaf.dtype, jax.dtypes.prng_key
+            ):
+                return ("key", np.asarray(jax.random.key_data(leaf)))
+            return ("arr", np.asarray(leaf))
+
+        leaves, treedef = jax.tree_util.tree_flatten(self._carry)
+        state = {
+            "t": self.t,
+            "carry_leaves": [to_np(l) for l in leaves],
+            "carry_treedef": treedef,
+            "key": np.asarray(jax.random.key_data(self.key)),
+            "summaries": None,
+        }
+        if self.summaries is not None:
+            state["summaries"] = {
+                c.summary_name: [np.asarray(v) for v in
+                                 getattr(self.summaries, c.summary_name)]
+                for c in self.summaries._collectors
+            }
+        if getattr(self, "_col_states", None) is not None:
+            cl, ctd = jax.tree_util.tree_flatten(self._col_states)
+            state["col_states"] = ([np.asarray(l) for l in cl], ctd)
+        with open(path, "wb") as f:
+            pickle.dump(state, f)
+
+    def load_state(self, path):
+        """Restore a checkpoint saved by :meth:`save_state` and continue
+        stepping (``next(pf)`` / ``pf.run()``)."""
+        import pickle
+
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+
+        def from_np(tagged):
+            tag, v = tagged
+            if tag == "key":
+                return jax.random.wrap_key_data(jnp.asarray(v))
+            return jnp.asarray(v)
+
+        leaves = [from_np(l) for l in state["carry_leaves"]]
+        self._carry = jax.tree_util.tree_unflatten(
+            state["carry_treedef"], leaves
+        )
+        self.t = state["t"]
+        self.key = jax.random.wrap_key_data(jnp.asarray(state["key"]))
+        self.X = self._carry.X
+        self.wgts = rs.Weights(self._carry.lw)
+        self.logLt = self._carry.logLt
+        if state.get("summaries") and self.summaries is not None:
+            for name, vals in state["summaries"].items():
+                setattr(self.summaries, name, [jnp.asarray(v) for v in vals])
+        if "col_states" in state:
+            cl, ctd = state["col_states"]
+            self._col_states = jax.tree_util.tree_unflatten(
+                ctd, [jnp.asarray(l) for l in cl]
+            )
+        if not hasattr(self, "_hist_frames"):
+            self._hist_frames = []
+
     def _finalize_history(self):
         if self.store_history and getattr(self, "_hist_frames", None):
             stacked = jax.tree_util.tree_map(

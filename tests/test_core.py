@@ -266,3 +266,36 @@ class TestMultiSMC:
         schemes = {r["resampling"] for r in results}
         assert schemes == {"multinomial", "systematic"}
         assert all("run" in r for r in results)
+
+
+class TestCheckpointResume:
+    def test_roundtrip_bitwise(self, lg_setup):
+        """Interrupt at t=8, checkpoint to disk, resume in a NEW object:
+        bit-identical to an uninterrupted stepping run."""
+        import os
+        import tempfile
+
+        ssm, y, _ = lg_setup
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        ref = particles.SMC(fk=fk, N=150, key=jax.random.key(7))
+        for _ in ref:
+            pass
+        pf1 = particles.SMC(fk=fk, N=150, key=jax.random.key(7))
+        for _ in range(8):
+            next(pf1)
+        path = os.path.join(tempfile.mkdtemp(), "ckpt.pkl")
+        pf1.save_state(path)
+        pf2 = particles.SMC(fk=fk, N=150, key=jax.random.key(99))
+        pf2.load_state(path)
+        for _ in pf2:
+            pass
+        assert float(pf2.logLt) == float(ref.logLt)
+        np.testing.assert_array_equal(np.asarray(pf2.X), np.asarray(ref.X))
+        # summaries continue across the checkpoint
+        assert len(pf2.summaries.ESSs) == y.shape[0]
+
+    def test_save_before_step_raises(self, lg_setup):
+        ssm, y, _ = lg_setup
+        pf = particles.SMC(fk=ssms.Bootstrap(ssm=ssm, data=y), N=50)
+        with pytest.raises(ValueError):
+            pf.save_state("/tmp/nope.pkl")
