@@ -176,7 +176,11 @@ class GenericRWHM(MCMC):
     def logpost(self, theta):
         raise NotImplementedError
 
-    def _chain_scan(self, key, theta0_vec, lpost0):
+    # chains longer than this run as several compiled segments: very long
+    # single XLA programs can exceed runtime deadlines on some backends
+    chain_chunk = 2000
+
+    def _chain_scan(self, key, state0, nsteps):
         adaptive = self.adaptive
         tracker = self.cov_tracker if adaptive else None
         scale = self.scale
@@ -200,21 +204,13 @@ class GenericRWHM(MCMC):
             nacc = nacc + accept.astype(jnp.int32)
             return (theta_vec, lpost, trk, nacc), (theta_vec, lpost)
 
-        trk0 = (self.cov_tracker.init_state() if adaptive
-                else _TrackerState(jnp.int32(0), jnp.zeros(self.dim),
-                                   jnp.eye(self.dim), jnp.eye(self.dim),
-                                   jnp.eye(self.dim)))
-        keys = jax.random.split(key, self.niter - 1)
-        (thf, lpf, trk, nacc), (thetas, lposts) = jax.lax.scan(
-            body, (theta0_vec, lpost0, trk0, jnp.int32(0)), keys
-        )
-        all_thetas = jnp.concatenate([theta0_vec[None], thetas], axis=0)
-        all_lposts = jnp.concatenate([lpost0[None], lposts], axis=0)
-        return all_thetas, all_lposts, nacc
+        keys = jax.random.split(key, nsteps)
+        state, (thetas, lposts) = jax.lax.scan(body, state0, keys)
+        return state, thetas, lposts
 
     @utils.timer
     def run(self):
-        """Run the whole chain as one compiled program."""
+        """Run the chain as (a few) compiled segments."""
         k0, keval0, kchain = jax.random.split(self.key, 3)
         if self.theta0 is None:
             th0 = {k: v[0] for k, v in self.prior.rvs(k0, size=1).items()}
@@ -223,15 +219,30 @@ class GenericRWHM(MCMC):
         th0_vec = _dict_to_vec(th0)
         self._eval_key = keval0
         lpost0 = jax.jit(self.logpost)(_vec_to_dict(th0_vec, self.template))
+        trk0 = (self.cov_tracker.init_state() if self.adaptive
+                else _TrackerState(jnp.int32(0), jnp.zeros(self.dim),
+                                   jnp.eye(self.dim), jnp.eye(self.dim),
+                                   jnp.eye(self.dim)))
 
-        runner = jax.jit(self._chain_scan)
-        thetas, lposts, nacc = runner(kchain, th0_vec, lpost0)
-        jax.block_until_ready(lposts)
+        runner = jax.jit(self._chain_scan, static_argnames=("nsteps",))
+        state = (th0_vec, lpost0, trk0, jnp.int32(0))
+        remaining = self.niter - 1
+        th_chunks, lp_chunks = [th0_vec[None]], [jnp.asarray(lpost0)[None]]
+        while remaining > 0:
+            nsteps = min(remaining, self.chain_chunk)
+            kchain, kc = jax.random.split(kchain)
+            state, thetas, lposts = runner(kc, state, nsteps=nsteps)
+            jax.block_until_ready(lposts)
+            th_chunks.append(thetas)
+            lp_chunks.append(lposts)
+            remaining -= nsteps
+        all_thetas = jnp.concatenate(th_chunks, axis=0)
+        all_lposts = jnp.concatenate(lp_chunks, axis=0)
         theta_chain = jax.vmap(
             lambda v: _vec_to_dict(v, self.template)
-        )(thetas)
-        self.chain = ssp.ThetaParticles(theta=theta_chain, lpost=lposts)
-        self.nacc = int(nacc)
+        )(all_thetas)
+        self.chain = ssp.ThetaParticles(theta=theta_chain, lpost=all_lposts)
+        self.nacc = int(state[3])
 
     @property
     def acc_rate(self):
