@@ -1,0 +1,42 @@
+"""Effect of the resampling schedule (ESSrmin) and scheme on filter quality.
+
+TPU-native counterpart of book/filtering/adaptive_resampling.py (quoted at
+~30 min single-core) and book/resampling/compare_* — here a single
+multiSMC call over the full cartesian grid, batched on device.
+"""
+
+import numpy as np
+
+import jax
+
+import particles_tpu as particles
+from particles_tpu import kalman
+from particles_tpu import state_space_models as ssms
+
+
+def main():
+    ssm = kalman.LinearGauss(rho=0.9, sigmaX=1.0, sigmaY=0.2)
+    x, y = ssm.simulate(jax.random.key(0), 100)
+    kf = kalman.Kalman(ssm=ssm, data=y)
+    kf.filter()
+    exact = float(kf.logLt)
+    fk = ssms.Bootstrap(ssm=ssm, data=y)
+
+    results = particles.multiSMC(
+        fk=fk, N=1000, nruns=30,
+        ESSrmin=[0.0, 0.25, 0.5, 0.75, 1.0],
+        resampling=["multinomial", "systematic", "ssp"],
+        key=jax.random.key(1),
+    )
+    print(f"exact logLt = {exact:.3f}\n")
+    print(f"{'ESSrmin':>8} {'scheme':>12} {'bias':>8} {'std':>7}")
+    for essrmin in (0.0, 0.25, 0.5, 0.75, 1.0):
+        for scheme in ("multinomial", "systematic", "ssp"):
+            lls = [float(r["output"].logLt) for r in results
+                   if r["ESSrmin"] == essrmin and r["resampling"] == scheme]
+            print(f"{essrmin:8.2f} {scheme:>12} "
+                  f"{np.mean(lls) - exact:+8.3f} {np.std(lls):7.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,3 +1,4 @@
 """Pallas TPU kernels for the hot particle operations (SURVEY.md §2a)."""
 
 from particles_tpu.ops.repeat_kernel import repeat_by_counts  # noqa: F401
+from particles_tpu.ops.repeat_kernel_v2 import repeat_by_counts_v2  # noqa: F401
