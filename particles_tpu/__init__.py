@@ -8,7 +8,7 @@ shardable across a device mesh, hot kernels are Pallas.
 
 __version__ = "0.1.0"
 
-_CORE_EXPORTS = ("SMC", "FeynmanKac", "multiSMC")
+_CORE_EXPORTS = ("SMC", "SQMC", "FeynmanKac", "multiSMC")
 
 _SUBMODULES = (
     "binary_smc",

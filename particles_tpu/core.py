@@ -40,7 +40,7 @@ from particles_tpu import resampling as rs
 from particles_tpu import utils
 from particles_tpu.utils.struct import Pytree
 
-__all__ = ["FeynmanKac", "SMC", "multiSMC", "SMCResult"]
+__all__ = ["FeynmanKac", "SMC", "SQMC", "multiSMC", "SMCResult"]
 
 
 err_msg_missing_trans = """
@@ -773,6 +773,14 @@ def _get_compiled_runner(fk_cls, N, T, qmc, resampling_scheme, ESSrmin,
 
         _runner_cache[cache_key] = jax.jit(run)
     return _runner_cache[cache_key]
+
+
+def SQMC(*args, **kwargs):
+    """Sequential quasi-Monte Carlo: an :class:`SMC` with ``qmc=True``
+    (convenience constructor; the reference's book scripts call
+    ``particles.SQMC``)."""
+    kwargs["qmc"] = True
+    return SMC(*args, **kwargs)
 
 
 class SMCResult:

@@ -72,6 +72,16 @@ class StateSpaceModel(KwPytree):
     def _error_msg(self, method):
         return f"method {method} not implemented in class {self.__class__.__name__}"
 
+    @classmethod
+    def state_container(cls, N, T):
+        """Empty (N, T[, dim]) container for states
+        (reference state_space_models.py:223-230)."""
+        law_x0 = cls().PX0()
+        shape = [N, T]
+        if law_x0.dim > 1:
+            shape.append(law_x0.dim)
+        return jnp.zeros(shape)
+
     def PX0(self):
         """Law of X_0."""
         raise NotImplementedError(self._error_msg("PX0"))
