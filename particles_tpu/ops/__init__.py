@@ -2,3 +2,4 @@
 
 from particles_tpu.ops.repeat_kernel import repeat_by_counts  # noqa: F401
 from particles_tpu.ops.repeat_kernel_v2 import repeat_by_counts_v2  # noqa: F401
+from particles_tpu.ops.repeat_kernel_v3 import repeat_by_counts_v3  # noqa: F401

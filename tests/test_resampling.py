@@ -293,3 +293,37 @@ class TestRepeatKernels:
                 ), pos
         finally:
             rk2.pl.pallas_call = orig
+
+    @pytest.mark.parametrize("N", [2048, 8192])
+    def test_v3_matches_jnp_repeat(self, N):
+        from jax.experimental import pallas as pl
+        import particles_tpu.ops.repeat_kernel_v3 as rk3
+
+        orig = pl.pallas_call
+
+        def patched(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        rk3.pl.pallas_call = patched
+        try:
+            rng = np.random.default_rng(N)
+            W = rng.dirichlet(np.ones(N) * 0.2).astype(np.float32)
+            x = jnp.asarray(rng.normal(size=N), jnp.float32)
+            cs = np.cumsum(W)
+            cs /= cs[-1]
+            z = np.clip(np.floor(N * cs - 0.37).astype(np.int32) + 1, 0, N)
+            z[-1] = N
+            counts = jnp.asarray(np.diff(z, prepend=0).astype(np.int32))
+            assert bool(jnp.all(
+                jnp.repeat(x, counts, total_repeat_length=N)
+                == rk3.repeat_by_counts_v3(x, counts, N)
+            ))
+            for pos in (0, 5, N // 2, N - 1):
+                c2 = jnp.zeros(N, jnp.int32).at[pos].set(N)
+                assert bool(jnp.all(
+                    jnp.repeat(x, c2, total_repeat_length=N)
+                    == rk3.repeat_by_counts_v3(x, c2, N)
+                )), pos
+        finally:
+            rk3.pl.pallas_call = orig
