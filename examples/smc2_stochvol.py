@@ -40,6 +40,7 @@ def main():
     pf = particles.SMC(fk=fk, N=500, key=jax.random.key(0), ESSrmin=0.5)
     t0 = time.perf_counter()
     pf.run()
+    float(pf.logLt)  # force (block_until_ready is unreliable on this tunnel)
     elapsed = time.perf_counter() - t0
 
     W = np.asarray(pf.wgts.W)

@@ -612,6 +612,11 @@ class SMC:
 
         if self._carry is None:
             raise ValueError("save_state: nothing to save (run a step first)")
+        if self._hist_obj is not None:
+            raise NotImplementedError(
+                "save_state: rolling/partial history checkpointing is not "
+                "supported; use store_history=True or False"
+            )
 
         def to_np(leaf):
             # typed PRNG keys cannot round-trip through numpy directly
@@ -621,14 +626,24 @@ class SMC:
                 return ("key", np.asarray(jax.random.key_data(leaf)))
             return ("arr", np.asarray(leaf))
 
-        leaves, treedef = jax.tree_util.tree_flatten(self._carry)
+        def dump_tree(obj):
+            leaves, treedef = jax.tree_util.tree_flatten(obj)
+            return [to_np(l) for l in leaves], treedef
+
         state = {
             "t": self.t,
-            "carry_leaves": [to_np(l) for l in leaves],
-            "carry_treedef": treedef,
+            "carry": dump_tree(self._carry),
             "key": np.asarray(jax.random.key_data(self.key)),
             "summaries": None,
         }
+        if self.qmc and getattr(self, "_h_order", None) is not None:
+            state["h_order"] = np.asarray(self._h_order)
+        if getattr(self, "_hist_frames", None):
+            state["hist_frames"] = dump_tree(self._hist_frames)
+        if self.hist is not None and hasattr(self.hist, "save") and hasattr(
+            self.hist, "X"
+        ):  # sampler history (lists of pytrees)
+            state["sampler_hist"] = dump_tree((self.hist.X, self.hist.wgts))
         if self.summaries is not None:
             state["summaries"] = {
                 c.summary_name: [np.asarray(v) for v in
@@ -636,8 +651,7 @@ class SMC:
                 for c in self.summaries._collectors
             }
         if getattr(self, "_col_states", None) is not None:
-            cl, ctd = jax.tree_util.tree_flatten(self._col_states)
-            state["col_states"] = ([np.asarray(l) for l in cl], ctd)
+            state["col_states"] = dump_tree(self._col_states)
         with open(path, "wb") as f:
             pickle.dump(state, f)
 
@@ -655,25 +669,41 @@ class SMC:
                 return jax.random.wrap_key_data(jnp.asarray(v))
             return jnp.asarray(v)
 
-        leaves = [from_np(l) for l in state["carry_leaves"]]
-        self._carry = jax.tree_util.tree_unflatten(
-            state["carry_treedef"], leaves
-        )
+        def load_tree(dumped):
+            leaves, treedef = dumped
+            return jax.tree_util.tree_unflatten(
+                treedef, [from_np(l) for l in leaves]
+            )
+
+        self._carry = load_tree(state["carry"])
         self.t = state["t"]
         self.key = jax.random.wrap_key_data(jnp.asarray(state["key"]))
         self.X = self._carry.X
+        self.Xp = self._carry.X
         self.wgts = rs.Weights(self._carry.lw)
         self.logLt = self._carry.logLt
+        self.A, self.aux, self.rs_flag, self.loglt = None, None, None, None
+        if "h_order" in state:
+            self._h_order = jnp.asarray(state["h_order"])
+        elif self.qmc:
+            raise ValueError(
+                "load_state: checkpoint has no Hilbert order but qmc=True"
+            )
+        self._hist_frames = (
+            load_tree(state["hist_frames"]) if "hist_frames" in state else []
+        )
+        if "sampler_hist" in state:
+            from particles_tpu.smc_samplers import SamplerHistory
+
+            X_list, w_list = load_tree(state["sampler_hist"])
+            sh = SamplerHistory()
+            sh.X, sh.wgts = list(X_list), list(w_list)
+            self.hist = sh
         if state.get("summaries") and self.summaries is not None:
             for name, vals in state["summaries"].items():
                 setattr(self.summaries, name, [jnp.asarray(v) for v in vals])
         if "col_states" in state:
-            cl, ctd = state["col_states"]
-            self._col_states = jax.tree_util.tree_unflatten(
-                ctd, [jnp.asarray(l) for l in cl]
-            )
-        if not hasattr(self, "_hist_frames"):
-            self._hist_frames = []
+            self._col_states = load_tree(state["col_states"])
 
     def _finalize_history(self):
         if self.store_history and getattr(self, "_hist_frames", None):

@@ -146,6 +146,11 @@ def _repeat_pallas_v2(x, z, M):
 
 
 def repeat_by_counts_v2(x, counts, M):
+    if x.ndim != 1 or M != x.shape[0] or M % 1024 != 0:
+        raise ValueError(
+            "repeat_by_counts_v2: experimental kernel requires 1-D x with "
+            "M == len(x) divisible by 1024; use ops.repeat_by_counts"
+        )
     """Like ops.repeat_by_counts but with the v2 row-granular kernel."""
     z = jnp.cumsum(counts.astype(jnp.int32))
     return _repeat_pallas_v2(x.astype(jnp.float32), z, M)

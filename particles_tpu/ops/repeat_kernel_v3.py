@@ -155,5 +155,10 @@ def _repeat_pallas_v3(x, z, M):
 
 
 def repeat_by_counts_v3(x, counts, M):
+    if x.ndim != 1 or M != x.shape[0] or M % 1024 != 0:
+        raise ValueError(
+            "repeat_by_counts_v3: experimental kernel requires 1-D x with "
+            "M == len(x) divisible by 1024; use ops.repeat_by_counts"
+        )
     z = jnp.cumsum(counts.astype(jnp.int32))
     return _repeat_pallas_v3(x.astype(jnp.float32), z, M)

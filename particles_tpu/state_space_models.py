@@ -80,7 +80,7 @@ class StateSpaceModel(KwPytree):
         shape = [N, T]
         if law_x0.dim > 1:
             shape.append(law_x0.dim)
-        return jnp.zeros(shape)
+        return jnp.zeros(shape, dtype=law_x0.dtype)
 
     def PX0(self):
         """Law of X_0."""

@@ -299,3 +299,52 @@ class TestCheckpointResume:
         pf = particles.SMC(fk=ssms.Bootstrap(ssm=ssm, data=y), N=50)
         with pytest.raises(ValueError):
             pf.save_state("/tmp/nope.pkl")
+
+    def test_sqmc_checkpoint_roundtrip(self, lg_setup):
+        """SQMC resume carries the Hilbert order (regression)."""
+        import os
+        import tempfile
+
+        ssm, y, _ = lg_setup
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        ref = particles.SMC(fk=fk, N=128, qmc=True, key=jax.random.key(3))
+        for _ in ref:
+            pass
+        pf1 = particles.SMC(fk=fk, N=128, qmc=True, key=jax.random.key(3))
+        for _ in range(6):
+            next(pf1)
+        path = os.path.join(tempfile.mkdtemp(), "ckpt_q.pkl")
+        pf1.save_state(path)
+        pf2 = particles.SMC(fk=fk, N=128, qmc=True, key=jax.random.key(0))
+        pf2.load_state(path)
+        for _ in pf2:
+            pass
+        assert float(pf2.logLt) == float(ref.logLt)
+
+    def test_history_checkpoint_roundtrip(self, lg_setup):
+        """Full history survives a checkpoint (regression)."""
+        import os
+        import tempfile
+
+        ssm, y, _ = lg_setup
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        pf1 = particles.SMC(fk=fk, N=64, store_history=True,
+                            key=jax.random.key(5))
+        for _ in range(7):
+            next(pf1)
+        path = os.path.join(tempfile.mkdtemp(), "ckpt_h.pkl")
+        pf1.save_state(path)
+        pf2 = particles.SMC(fk=fk, N=64, store_history=True,
+                            key=jax.random.key(0))
+        pf2.load_state(path)
+        for _ in pf2:
+            pass
+        assert pf2.hist.T == y.shape[0]  # includes pre-checkpoint frames
+
+    def test_rolling_history_checkpoint_rejected(self, lg_setup):
+        ssm, y, _ = lg_setup
+        pf = particles.SMC(fk=ssms.Bootstrap(ssm=ssm, data=y), N=32,
+                           store_history=3)
+        next(pf)
+        with pytest.raises(NotImplementedError):
+            pf.save_state("/tmp/nope2.pkl")

@@ -293,6 +293,7 @@ class TestRepeatKernels:
                 ), pos
         finally:
             rk2.pl.pallas_call = orig
+            rk2._repeat_pallas_v2.clear_cache()
 
     @pytest.mark.parametrize("N", [2048, 8192])
     def test_v3_matches_jnp_repeat(self, N):
@@ -327,3 +328,4 @@ class TestRepeatKernels:
                 )), pos
         finally:
             rk3.pl.pallas_call = orig
+            rk3._repeat_pallas_v3.clear_cache()
