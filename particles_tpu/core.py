@@ -215,18 +215,20 @@ def _step0(fk, key, N, qmc, summaries, ESSrmin, constrain=None):
     return carry, view, outs, None
 
 
-def _repeat(X, counts, M):
+def _repeat(X, counts, M, use_pallas=True):
     """Resampling move for sorted-ancestor schemes: X[A] = repeat-by-counts.
 
     1-D leaves route through the Pallas streaming-merge kernel on TPU
-    (~75x faster than the XLA gather at N=1e6, see particles_tpu.ops);
-    other leaves use `jnp.repeat` (still ~10x faster than a random gather).
+    (~4x faster than the XLA gather at N=1e6, see particles_tpu.ops);
+    other leaves use `jnp.repeat`.  ``use_pallas=False`` forces the XLA
+    path (needed under multichip sharding: GSPMD cannot partition a
+    pallas_call).
     """
     from particles_tpu.ops import repeat_by_counts
 
     return jax.tree_util.tree_map(
         lambda leaf: repeat_by_counts(leaf, counts, M)
-        if leaf.ndim == 1
+        if (use_pallas and leaf.ndim == 1)
         else jnp.repeat(leaf, counts, axis=0, total_repeat_length=M),
         X,
     )
@@ -268,7 +270,7 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
         if use_counts:
             counts = rs.resampling_counts(resampling_scheme, k_rs, aux.W, M=N)
             A = rs.counts_to_ancestors(counts, N)
-            Xp = _repeat(X, counts, N)
+            Xp = _repeat(X, counts, N, use_pallas=constrain is None)
             if fk.isAPF:
                 from particles_tpu.ops import repeat_by_counts
 
