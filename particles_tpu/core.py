@@ -728,6 +728,7 @@ class SMC:
             type(self.fk).done is FeynmanKac.done
             and self.t == 0
             and self._hist_obj is None  # rolling/partial history: step mode
+            and not self.verbose  # per-iteration printing: step mode
             and not getattr(self.fk, "is_sampler", False)
         )
 
