@@ -218,17 +218,17 @@ def _step0(fk, key, N, qmc, summaries, ESSrmin, constrain=None):
 def _repeat(X, counts, M, use_pallas=True):
     """Resampling move for sorted-ancestor schemes: X[A] = repeat-by-counts.
 
-    1-D leaves route through the Pallas streaming-merge kernel on TPU
-    (~4x faster than the XLA gather at N=1e6, see particles_tpu.ops);
-    other leaves use `jnp.repeat`.  ``use_pallas=False`` forces the XLA
-    path (needed under multichip sharding: GSPMD cannot partition a
-    pallas_call).
+    1-D and small (N, d<=3) leaves route through the Pallas streaming-merge
+    kernel on TPU (~4x faster than the XLA gather at N=1e6 for d=1, ~1.8x
+    for d=2; see particles_tpu.ops); other leaves use `jnp.repeat`.
+    ``use_pallas=False`` forces the XLA path (needed under multichip
+    sharding: GSPMD cannot partition a pallas_call).
     """
     from particles_tpu.ops import repeat_by_counts
 
     return jax.tree_util.tree_map(
         lambda leaf: repeat_by_counts(leaf, counts, M)
-        if (use_pallas and leaf.ndim == 1)
+        if (use_pallas and leaf.ndim <= 2)
         else jnp.repeat(leaf, counts, axis=0, total_repeat_length=M),
         X,
     )

@@ -260,6 +260,73 @@ class TestMultinomialQueue:
 
 class TestRepeatKernels:
     @pytest.mark.parametrize("N", [2048, 8192])
+    def test_v1_matches_jnp_repeat(self, N):
+        """The production kernel's routing (1-D, (N,d<=3) column-wise,
+        padding, int round-trip) agrees with jnp.repeat (interpret mode)."""
+        from jax.experimental import pallas as pl
+        import particles_tpu.ops.repeat_kernel as rk
+
+        orig = pl.pallas_call
+
+        def patched(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        rk.pl.pallas_call = patched
+        orig_on_tpu = rk._on_tpu
+        rk._on_tpu = lambda: True
+        try:
+            rng = np.random.default_rng(N)
+            W = rng.dirichlet(np.ones(N) * 0.2).astype(np.float32)
+            cs = np.cumsum(W)
+            cs /= cs[-1]
+            z = np.clip(np.floor(N * cs - 0.37).astype(np.int32) + 1, 0, N)
+            z[-1] = N
+            counts = jnp.asarray(np.diff(z, prepend=0).astype(np.int32))
+            # 1-D float and int
+            x = jnp.asarray(rng.normal(size=N), jnp.float32)
+            ref = jnp.repeat(x, counts, total_repeat_length=N)
+            assert bool(jnp.all(ref == rk.repeat_by_counts(x, counts, N)))
+            xi = jnp.asarray(rng.integers(0, 1 << 20, size=N), jnp.int32)
+            gi = rk.repeat_by_counts(xi, counts, N)
+            assert gi.dtype == jnp.int32
+            assert bool(jnp.all(
+                jnp.repeat(xi, counts, total_repeat_length=N) == gi))
+            # (N, d) column-wise routing for d <= 3
+            for d in (1, 2, 3):
+                x2 = jnp.asarray(rng.normal(size=(N, d)), jnp.float32)
+                ref2 = jnp.repeat(x2, counts, axis=0, total_repeat_length=N)
+                assert bool(jnp.all(
+                    ref2 == rk.repeat_by_counts(x2, counts, N))), d
+            # unaligned N: padding path
+            No = N - 513
+            xo = x[:No]
+            cso = np.cumsum(W[:No])
+            cso /= cso[-1]
+            zo = np.clip(np.floor(No * cso - 0.37).astype(np.int32) + 1,
+                         0, No)
+            zo[-1] = No
+            co = jnp.asarray(np.diff(zo, prepend=0).astype(np.int32))
+            assert bool(jnp.all(
+                jnp.repeat(xo, co, total_repeat_length=No)
+                == rk.repeat_by_counts(xo, co, No)))
+        finally:
+            rk.pl.pallas_call = orig
+            rk._on_tpu = orig_on_tpu
+            rk._repeat_pallas.clear_cache()
+
+    def test_v1_fallback_cases(self):
+        """d > 3, M != N, and tiny N fall back to jnp.repeat (still exact)."""
+        import particles_tpu.ops.repeat_kernel as rk
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(size=(256, 5)), jnp.float32)
+        counts = jnp.zeros(256, jnp.int32).at[3].set(256)
+        got = rk.repeat_by_counts(x, counts, 256)
+        assert bool(jnp.all(
+            got == jnp.repeat(x, counts, axis=0, total_repeat_length=256)))
+
+    @pytest.mark.parametrize("N", [2048, 8192])
     def test_v2_matches_jnp_repeat(self, N):
         """The experimental row-granular kernel agrees with jnp.repeat
         (runs in interpret mode on CPU)."""
