@@ -123,5 +123,24 @@ class KwPytree(Pytree):
 
     def __init__(self, **kwargs):
         params = dict(self.default_params)
+        # Unknown kwargs are allowed (reference parity: users attach extra
+        # attributes), but a near-miss of a declared parameter is almost
+        # certainly a typo that would otherwise surface much later as an
+        # AttributeError on the silently-kept default (e.g. MVStochVol
+        # ``cov=`` instead of ``covX=``).
+        if params:
+            unknown = [k for k in kwargs if k not in params]
+            if unknown:
+                import difflib
+                import warnings
+
+                for k in unknown:
+                    close = difflib.get_close_matches(k, params, n=1)
+                    if close:
+                        warnings.warn(
+                            f"{type(self).__name__}: parameter {k!r} is not "
+                            f"in default_params — did you mean {close[0]!r}?",
+                            stacklevel=2,
+                        )
         params.update(kwargs)
         self.__dict__.update(params)

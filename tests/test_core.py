@@ -229,6 +229,19 @@ class TestEngineBehaviour:
 
 
 class TestSimulate:
+    def test_typoed_param_warns(self):
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            ssms.StochVol(rh=0.9)  # typo for rho
+        assert any("did you mean 'rho'" in str(x.message) for x in w)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            ssms.StochVol(rho=0.9)            # legit param
+            ssms.StochVol(unrelated_extra=3)  # far from any param: silent
+        assert not w
+
     def test_shapes_and_stats(self):
         ssm = kalman.LinearGauss(rho=0.9, sigmaX=1.0, sigmaY=0.2)
         x, y = ssm.simulate(jax.random.key(0), 200)
