@@ -7,11 +7,14 @@ so Sobol is implemented natively:
 
 * direction numbers from the standard Joe & Kuo (new-joe-kuo-6) table
   (first 21 dimensions hard-coded; validated against scipy in the tests);
-* randomisation by **digital shift** (XOR with a random 32-bit word per
-  dimension) — a valid RQMC scheme (unbiased, preserves the digital-net
-  structure); the reference's scipy backend additionally applies a linear
-  matrix scramble, which reduces variance further but is not required for
-  correctness.
+* randomisation by **linear matrix scramble + digital shift** (Matousek's
+  LMS, the scheme scipy's ``qmc.Sobol(scramble=True)`` uses, which the
+  reference delegates to): each dimension's direction numbers are
+  multiplied over GF(2) by a random lower-triangular bit matrix with unit
+  diagonal, then the points are XOR-ed with a random 32-bit word.  The
+  scramble transforms the (d, 32) direction-number table — not the (N, d)
+  points — so its cost is independent of N and it runs inside the SQMC
+  scan.  ``scramble="shift"`` gives the plain digital shift.
 
 Also provides scrambled Halton and Latin hypercube for parity (including
 fixing the reference's ``qmc.LatinHybercube`` typo, rqmc.py:21).
@@ -92,10 +95,11 @@ def _direction_numbers(d):
     return V.astype(np.uint32)
 
 
-def _sobol_ints(N, d):
+def _sobol_ints(N, d, V=None):
     """(N, d) uint32 raw Sobol integers via Gray-code XOR expansion,
     fully vectorised (32 static XOR terms)."""
-    V = jnp.asarray(_direction_numbers(d))  # (d, 32)
+    if V is None:
+        V = jnp.asarray(_direction_numbers(d))  # (d, 32)
     i = jnp.arange(N, dtype=jnp.uint32)
     gray = i ^ (i >> 1)
     out = jnp.zeros((N, d), dtype=jnp.uint32)
@@ -103,6 +107,30 @@ def _sobol_ints(N, d):
         bit = ((gray >> j) & 1).astype(jnp.uint32)  # (N,)
         out = out ^ (bit[:, None] * V[None, :, j])
     return out
+
+
+def _lms_direction_numbers(key, d):
+    """Direction numbers after a random linear matrix scramble (Matousek).
+
+    Each dimension gets an independent random lower-triangular 32x32 bit
+    matrix L with unit diagonal ("lower-triangular" w.r.t. leading bits:
+    output bit i depends only on input bits 0..i counted from the MSB, so
+    leading-bit equidistribution — the digital-net property — is
+    preserved).  Scrambling the direction numbers is equivalent to
+    scrambling every point (GF(2) linearity) at 1/N-th the cost.
+    """
+    V = jnp.asarray(_direction_numbers(d))  # (d, 32)
+    rb = jax.random.bits(key, (d, _BITS), dtype=jnp.uint32)  # row entropy
+    i = jnp.arange(_BITS, dtype=jnp.uint32)
+    diag = (jnp.uint32(1) << (jnp.uint32(_BITS - 1) - i))     # (32,)
+    # row i may have 1s only at MSB positions 0..i; force the diagonal
+    allowed = ~(diag - jnp.uint32(1))
+    rows = (rb & allowed & ~diag) | diag                      # (d, 32)
+    Vp = jnp.zeros_like(V)
+    for b in range(_BITS):
+        par = jax.lax.population_count(rows[:, b:b + 1] & V) & jnp.uint32(1)
+        Vp = Vp | (par << jnp.uint32(_BITS - 1 - b))
+    return Vp
 
 
 def sobol_unscrambled(N, d):
@@ -118,13 +146,29 @@ def _clamp(u):
     return jnp.clip(u, eps, 1.0 - eps)
 
 
-def sobol(key, N, d):
-    """Digitally-shifted Sobol points: (N, d) in (0, 1)
-    (counterpart of reference ``sobol``, rqmc.py:14-15)."""
-    ints = _sobol_ints(N, d)
-    shift = jax.random.bits(key, (d,), dtype=jnp.uint32)
+def sobol(key, N, d, scramble="lms_shift"):
+    """Scrambled Sobol points: (N, d) in (0, 1) (counterpart of reference
+    ``sobol``, rqmc.py:14-15, whose scipy backend uses LMS + shift).
+
+    ``scramble``: ``"lms_shift"`` (default, matches the reference's
+    randomisation family) or ``"shift"`` (digital shift only — cheaper,
+    still valid RQMC).
+    """
+    if scramble == "lms_shift":
+        k_lms, k_shift = jax.random.split(key)
+        ints = _sobol_ints(N, d, V=_lms_direction_numbers(k_lms, d))
+    elif scramble == "shift":
+        k_shift = key
+        ints = _sobol_ints(N, d)
+    else:
+        raise ValueError(f"unknown scramble: {scramble!r}")
+    shift = jax.random.bits(k_shift, (d,), dtype=jnp.uint32)
     shifted = ints ^ shift[None, :]
-    return _clamp(shifted.astype(jnp.float32) * (2.0**-_BITS))
+    # top 24 bits convert to float32 exactly (no mantissa rounding), so
+    # points never cross dyadic cell boundaries and the scrambled net's
+    # stratification survives the float conversion bit-exactly
+    return _clamp((shifted >> jnp.uint32(8)).astype(jnp.float32)
+                  * (2.0 ** -(_BITS - 8)))
 
 
 def _first_primes(d):

@@ -33,6 +33,47 @@ class TestRQMC:
             disc = np.abs(s - np.arange(1, 4097) / 4096).max()
             assert disc < 0.01, disc
 
+    def test_lms_scramble_preserves_net(self):
+        """LMS + shift keeps the digital-net stratification exactly:
+        the first 2^m points hit every dyadic cell once, per 1-D and 2-D
+        projection (exactness relies on the top-24-bit float conversion)."""
+        N, d = 1024, 8
+        for scramble in ("lms_shift", "shift"):
+            for seed in (0, 1, 2):
+                u = np.asarray(
+                    rqmc.sobol(jax.random.key(seed), N, d, scramble=scramble)
+                )
+                for j in range(d):
+                    cells = np.sort(np.floor(N * u[:, j]).astype(int))
+                    assert np.array_equal(cells, np.arange(N)), (
+                        scramble, seed, j)
+                c = np.floor(32 * u[:, :2]).astype(int)
+                cnt = np.zeros((32, 32), int)
+                np.add.at(cnt, (c[:, 0], c[:, 1]), 1)
+                assert cnt.min() == cnt.max() == 1, (scramble, seed)
+
+    def test_lms_lower_variance_than_shift(self):
+        """On a smooth product integrand the LMS scramble dominates the
+        plain digital shift (the reason the reference's scipy backend
+        uses it)."""
+
+        def f(u):
+            return float(jnp.prod(1.0 + 0.5 * (u - 0.5), axis=1).mean())
+
+        stds = {}
+        for scramble in ("lms_shift", "shift"):
+            vals = [
+                f(rqmc.sobol(jax.random.key(i), 256, 4, scramble=scramble))
+                for i in range(150)
+            ]
+            assert abs(np.mean(vals) - 1.0) < 1e-3  # unbiased
+            stds[scramble] = np.std(vals)
+        assert stds["lms_shift"] < 0.5 * stds["shift"], stds
+
+    def test_unknown_scramble_raises(self):
+        with pytest.raises(ValueError):
+            rqmc.sobol(jax.random.key(0), 64, 2, scramble="owen_nested")
+
     def test_different_keys_different_points(self):
         u1 = rqmc.sobol(jax.random.key(1), 64, 2)
         u2 = rqmc.sobol(jax.random.key(2), 64, 2)
