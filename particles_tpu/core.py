@@ -405,38 +405,80 @@ def _run_full(fk, key, N, T, qmc, resampling_scheme, ESSrmin, summaries,
     Under ``qmc=True`` this is the SQMC algorithm: the Hilbert sort order of
     the current particles rides in the scan carry, and each step's history
     frame additionally records it (for QMC-FFBS smoothing).
+
+    ``store_history``: ``False``, ``True`` (stack every frame as a scan
+    output), or ``("slots", slot_of_t, nslots)`` for windowed storage
+    (rolling / partial history, reference smoothing.py:164-219): a ring of
+    ``nslots`` frames rides in the scan carry and step t overwrites slot
+    ``slot_of_t[t]`` (an O(k N) dynamic-index update, not a (T, N) stack),
+    so a rolling window costs O(k N) memory inside the compiled run.
     """
+    windowed = isinstance(store_history, tuple)
+    full = store_history is True
+    if windowed:
+        _, slot_seq, nslots = store_history
+        slots = jnp.asarray(slot_seq, jnp.int32)
+
+    def frame_of(view, h):
+        f = _history_out(view, full or windowed)
+        # only full history records Hilbert orders (QMC-FFBS needs the
+        # complete genealogy anyway)
+        if qmc and full:
+            f = f + (h,)
+        return f
+
+    def ring_write(ring, frame, slot):
+        return jax.tree_util.tree_map(
+            lambda buf, leaf: jax.lax.dynamic_update_index_in_dim(
+                buf, leaf, slot, 0
+            ),
+            ring,
+            frame,
+        )
+
     carry, view0, outs0, h0 = _step0(fk, key, N, qmc, summaries, ESSrmin,
                                      constrain)
-    hist0 = _history_out(view0, store_history)
-    if qmc and store_history:
-        hist0 = hist0 + (h0,)
+    frame0 = frame_of(view0, h0)
+    hist0 = frame0 if full else ()
+    ring = None
+    if windowed:
+        ring = jax.tree_util.tree_map(
+            lambda leaf: jnp.zeros((nslots,) + leaf.shape, leaf.dtype),
+            frame0,
+        )
+        ring = ring_write(ring, frame0, int(slot_seq[0]))
 
     if qmc:
         def body(ch, t):
-            carry, h_order = ch
+            carry, h_order, ring = ch
             carry, h_new, view, outs = _step_qmc(
                 fk, carry, h_order, t, N, ESSrmin, summaries, constrain
             )
-            h_frame = _history_out(view, store_history)
-            if store_history:
-                h_frame = h_frame + (h_new,)
-            return (carry, h_new), (outs, h_frame)
+            frame = frame_of(view, h_new)
+            if windowed:
+                ring = ring_write(ring, frame, slots[t])
+            return (carry, h_new, ring), (outs, frame if full else ())
 
         ts = jnp.arange(1, T, dtype=jnp.int32)
-        (carry, _), (outs_rest, hist_rest) = jax.lax.scan(
-            body, (carry, h0), ts
+        (carry, _, ring), (outs_rest, hist_rest) = jax.lax.scan(
+            body, (carry, h0, ring), ts
         )
     else:
-        def body(carry, t):
+        def body(c, t):
+            carry, ring = c
             carry, view, outs = _step(
                 fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
                 constrain
             )
-            return carry, (outs, _history_out(view, store_history))
+            frame = frame_of(view, None)
+            if windowed:
+                ring = ring_write(ring, frame, slots[t])
+            return (carry, ring), (outs, frame if full else ())
 
         ts = jnp.arange(1, T, dtype=jnp.int32)
-        carry, (outs_rest, hist_rest) = jax.lax.scan(body, carry, ts)
+        (carry, ring), (outs_rest, hist_rest) = jax.lax.scan(
+            body, (carry, ring), ts
+        )
 
     # prepend step-0 outputs to the stacked scan outputs
     all_outs = jax.tree_util.tree_map(
@@ -444,11 +486,14 @@ def _run_full(fk, key, N, T, qmc, resampling_scheme, ESSrmin, summaries,
         outs0,
         outs_rest,
     )
-    all_hist = jax.tree_util.tree_map(
-        lambda h0_, hrest: jnp.concatenate([h0_[None], hrest], axis=0),
-        hist0,
-        hist_rest,
-    )
+    if windowed:
+        all_hist = ring
+    else:
+        all_hist = jax.tree_util.tree_map(
+            lambda h0_, hrest: jnp.concatenate([h0_[None], hrest], axis=0),
+            hist0,
+            hist_rest,
+        )
     return carry, all_outs, all_hist
 
 
@@ -724,13 +769,61 @@ class SMC:
     def _static_horizon(self):
         """True if fk uses the default horizon-based ``done`` (and is not an
         SMC sampler, which always runs through its own stepping engine)."""
+        opt = self.hist_option
+        hist_ok = (
+            isinstance(opt, bool)
+            or (isinstance(opt, int) and opt >= 1)  # rolling window
+            or callable(opt)  # partial (save times are static)
+        )
         return (
             type(self.fk).done is FeynmanKac.done
             and self.t == 0
-            and self._hist_obj is None  # rolling/partial history: step mode
+            and hist_ok
             and not self.verbose  # per-iteration printing: step mode
             and not getattr(self.fk, "is_sampler", False)
         )
+
+    def _hist_spec(self, T):
+        """Map the store_history option to the engine's history argument:
+        bool passes through; rolling k / partial callable become a static
+        ("slots", slot_of_t, nslots) ring spec (slot assignments are known
+        at trace time since T is static)."""
+        opt = self.hist_option
+        if isinstance(opt, bool):
+            return opt
+        if isinstance(opt, int):
+            kk = min(opt, T)
+            return ("slots", tuple(t % kk for t in range(T)), kk)
+        times = tuple(t for t in range(T) if opt(t))
+        nslots = len(times) + 1  # last slot = scratch for unsaved steps
+        lookup = {t: i for i, t in enumerate(times)}
+        return ("slots", tuple(lookup.get(t, nslots - 1) for t in range(T)),
+                nslots)
+
+    def _install_windowed_hist(self, hist, T):
+        """Rebuild the rolling/partial history object from the scan ring."""
+        from particles_tpu import smoothing
+
+        opt = self.hist_option
+        take = lambda tree, i: jax.tree_util.tree_map(  # noqa: E731
+            lambda leaf: leaf[i], tree)
+        X_ring, A_ring, lw_ring = hist
+        if isinstance(opt, int):
+            kk = min(opt, T)
+            h = smoothing.RollingParticleHistory(opt)
+            for i in range(kk):
+                slot = (T - kk + i) % kk  # time order
+                h.X.append(take(X_ring, slot))
+                h.A.append(A_ring[slot])
+                h.wgts.append(rs.Weights(lw_ring[slot]))
+        else:
+            h = smoothing.PartialParticleHistory(opt)
+            times = [t for t in range(T) if opt(t)]
+            for i, t in enumerate(times):
+                h.X[t] = take(X_ring, i)
+                h.wgts[t] = rs.Weights(lw_ring[i])
+        self.hist = h
+        self._hist_obj = h
 
     @utils.timer
     def run(self):
@@ -740,6 +833,7 @@ class SMC:
                 pass
             return
         T = int(self.fk.T)
+        hist_spec = self._hist_spec(T)
         runner = _get_compiled_runner(
             type(self.fk),
             self.N,
@@ -748,7 +842,7 @@ class SMC:
             self.resampling,
             self.ESSrmin,
             self.summaries,
-            self.store_history,
+            hist_spec,
         )
         carry, outs, hist = runner(self.fk, self.key)
         wgts = rs.Weights(carry.lw)
@@ -763,6 +857,8 @@ class SMC:
             from particles_tpu.smoothing import ParticleHistory
 
             self.hist = ParticleHistory(self.fk, *hist)
+        elif isinstance(hist_spec, tuple):
+            self._install_windowed_hist(hist, T)
 
 
 _runner_cache = {}

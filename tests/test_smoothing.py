@@ -138,3 +138,90 @@ class TestSmoothingWorker:
         assert est.shape == exact.shape
         np.testing.assert_allclose(est, exact, atol=0.45)
         assert out["cpu"] > 0
+
+
+class TestWindowedHistory:
+    """Rolling / partial history in the compiled scan path: O(k N) ring in
+    the carry, equivalent to step-by-step mode (reference
+    smoothing.py:164-219)."""
+
+    def _fk(self, T=30):
+        ssm = kalman.LinearGauss(rho=0.9, sigmaX=1.0, sigmaY=0.3)
+        _, y = ssm.simulate(jax.random.key(0), T)
+        return ssms.Bootstrap(ssm=ssm, data=y)
+
+    def test_rolling_scan_matches_stepping(self):
+        fk = self._fk()
+        pf_scan = particles.SMC(fk=fk, N=800, key=jax.random.key(1),
+                                store_history=5)
+        assert pf_scan._static_horizon  # compiled path
+        pf_scan.run()
+        pf_step = particles.SMC(fk=fk, N=800, key=jax.random.key(1),
+                                store_history=5)
+        for _ in pf_step:
+            pass
+        hs, hp = pf_scan.hist, pf_step.hist
+        assert hs.T == hp.T == 5
+        for i in range(5):
+            np.testing.assert_allclose(
+                np.asarray(hs.X[i]), np.asarray(hp.X[i]), atol=1e-5)
+            assert np.array_equal(np.asarray(hs.A[i]), np.asarray(hp.A[i]))
+            np.testing.assert_allclose(
+                np.asarray(hs.wgts[i].lw), np.asarray(hp.wgts[i].lw),
+                atol=1e-4)
+        assert np.array_equal(
+            np.asarray(hs.compute_trajectories()),
+            np.asarray(hp.compute_trajectories()),
+        )
+
+    def test_rolling_window_longer_than_horizon(self):
+        fk = self._fk(T=12)
+        pf = particles.SMC(fk=fk, N=300, key=jax.random.key(2),
+                           store_history=100)
+        pf.run()
+        assert pf.hist.T == 12
+        # last frame is the final particle system
+        np.testing.assert_allclose(
+            np.asarray(pf.hist.X[-1]), np.asarray(pf.X), atol=1e-6)
+
+    def test_partial_scan_matches_stepping(self):
+        fk = self._fk()
+        sel = lambda t: t % 10 == 0  # noqa: E731
+        p1 = particles.SMC(fk=fk, N=800, key=jax.random.key(3),
+                           store_history=sel)
+        assert p1._static_horizon
+        p1.run()
+        p2 = particles.SMC(fk=fk, N=800, key=jax.random.key(3),
+                           store_history=sel)
+        for _ in p2:
+            pass
+        assert sorted(p1.hist.X) == sorted(p2.hist.X) == [0, 10, 20]
+        for t in p2.hist.X:
+            np.testing.assert_allclose(
+                np.asarray(p1.hist.X[t]), np.asarray(p2.hist.X[t]),
+                atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(p1.hist.wgts[t].lw),
+                np.asarray(p2.hist.wgts[t].lw), atol=1e-4)
+
+    def test_partial_no_save_times(self):
+        fk = self._fk(T=12)
+        pf = particles.SMC(fk=fk, N=300, key=jax.random.key(4),
+                           store_history=lambda t: False)
+        pf.run()
+        assert pf.hist.X == {}
+
+    def test_rolling_under_sqmc(self):
+        fk = self._fk(T=15)
+        pf = particles.SQMC(fk=fk, N=512, key=jax.random.key(5),
+                            store_history=4)
+        pf.run()
+        assert pf.hist.T == 4
+        np.testing.assert_allclose(
+            np.asarray(pf.hist.X[-1]), np.asarray(pf.X), atol=1e-6)
+        B = np.asarray(pf.hist.compute_trajectories())
+        assert B.shape == (4, 512)
+
+    def test_invalid_option_raises(self):
+        with pytest.raises(ValueError):
+            particles.SMC(fk=self._fk(), N=100, store_history=-3)
