@@ -658,6 +658,13 @@ class SMC:
         import numpy as np
 
         if self._carry is None:
+            if self.t > 0:
+                raise ValueError(
+                    "save_state: this algorithm ran to completion through "
+                    "the compiled path (run()); checkpointing applies to "
+                    "step-by-step execution (use `next(pf)` / iterate, then "
+                    "save mid-run)"
+                )
             raise ValueError("save_state: nothing to save (run a step first)")
         if self._hist_obj is not None:
             raise NotImplementedError(
