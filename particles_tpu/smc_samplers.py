@@ -63,6 +63,9 @@ __all__ = [
     "Var_logLt",
     "view_2d_array",
     "rec_to_dict",
+    "all_distinct",
+    "FancyList",
+    "gen_concatenate",
     "SMC2",
 ]
 
@@ -147,6 +150,84 @@ def view_2d_array(theta):
         v = theta[k]
         cols.append(v[:, None] if v.ndim == 1 else v.reshape(v.shape[0], -1))
     return jnp.concatenate(cols, axis=1)
+
+
+def all_distinct(l, idx):
+    """``[l[i] for i in idx]`` with repeated picks deep-copied so every
+    element of the result is a distinct object (counterpart of reference
+    smc_samplers.py:319-340).
+
+    Host-side helper for list-of-Python-objects particle containers; our
+    engine keeps per-particle state in immutable arrays, where this is
+    unnecessary (``leaf[idx]`` already aliases nothing mutable), but code
+    ported from the reference may rely on it.
+    """
+    import copy
+
+    picked = set()
+    out = []
+    for i in idx:
+        i = int(i)
+        out.append(copy.deepcopy(l[i]) if i in picked else l[i])
+        picked.add(i)
+    return out
+
+
+class FancyList:
+    """List with ndarray fancy indexing and copy-on-duplicate semantics
+    (counterpart of reference smc_samplers.py:343-380).
+
+    Lets a ThetaParticles-style container hold arbitrary Python objects
+    per particle on the host (outside jit).  Indexing with an int array
+    resamples the list via :func:`all_distinct`.
+    """
+
+    def __init__(self, data):
+        self.data = list(data) if data is not None else []
+
+    def __iter__(self):
+        return iter(self.data)
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, key):
+        if isinstance(key, (np.ndarray, jax.Array)):
+            return type(self)(all_distinct(self.data, np.asarray(key)))
+        return self.data[key]
+
+    def __add__(self, other):
+        return type(self)(self.data + other.data)
+
+    @classmethod
+    def concatenate(cls, *ls):
+        out = []
+        for l in ls:
+            out.extend(l.data)
+        return cls(out)
+
+    def copy(self):
+        import copy
+
+        return copy.deepcopy(self)
+
+    def copyto(self, src, where=None):
+        """numpy.copyto semantics: self.data[n] = src.data[n] where
+        ``where[n]`` is true."""
+        for n in range(len(self.data)):
+            if where[n]:
+                self.data[n] = src.data[n]
+
+
+def gen_concatenate(*xs):
+    """Concatenate arrays or FancyLists (counterpart of reference
+    smc_samplers.py:394-398)."""
+    x0 = xs[0]
+    if isinstance(x0, jax.Array):
+        return jnp.concatenate(xs)
+    if isinstance(x0, np.ndarray):
+        return np.concatenate(xs)
+    return type(x0).concatenate(*xs)
 
 
 def theta_from_2d(arr, template):
