@@ -51,6 +51,10 @@ class Collector(Pytree):
 
     signature = {}
     stateful = False
+    # True if step()/init() reads view.A or view.Xp.  The SQMC engine skips
+    # materialising ancestor indices / resampled ancestors when no consumer
+    # needs them (conservative default: custom collectors pay the cost).
+    uses_genealogy = True
 
     @property
     def summary_name(self):
@@ -71,6 +75,7 @@ class ESSs(Collector):
     """Effective sample size at each t (reference collectors.py:278-283)."""
 
     summary_name = "ESSs"
+    uses_genealogy = False
 
     def collect(self, view):
         return view.wgts.ESS
@@ -80,6 +85,7 @@ class LogLts(Collector):
     """Cumulative log-likelihood estimate at each t (collectors.py:285-288)."""
 
     summary_name = "logLts"
+    uses_genealogy = False
 
     def collect(self, view):
         return view.logLt
@@ -89,6 +95,7 @@ class Rs_flags(Collector):
     """Whether resampling happened at each t (collectors.py:290-293)."""
 
     summary_name = "rs_flags"
+    uses_genealogy = False
 
     def collect(self, view):
         return view.rs_flag
@@ -101,6 +108,7 @@ class Moments(Collector):
     """
 
     summary_name = "moments"
+    uses_genealogy = False
     signature = {"mom_func": None}
 
     def collect(self, view):
@@ -316,6 +324,12 @@ class Summaries:
             )
         for col in self._collectors:
             setattr(self, col.summary_name, [])
+
+    @property
+    def needs_genealogy(self):
+        """True if any collector reads view.A / view.Xp (the SQMC engine
+        skips materialising them otherwise)."""
+        return any(c.uses_genealogy for c in self._collectors)
 
     def init_step(self, view):
         """t=0: returns (states, outputs) across collectors."""

@@ -169,6 +169,26 @@ def _gather(X, A):
     return jax.tree_util.tree_map(lambda leaf: jnp.take(leaf, A, axis=0), X)
 
 
+def _qmc_reorder(X, extras):
+    """Re-order particles ``X`` (an (N,) or (N, d) array) and extra (N,)
+    arrays into the Hilbert order of X, as ONE multi-operand ``lax.sort``.
+
+    Random gathers run at ~60M elem/s on TPU while a multi-operand sort of
+    2^20 elements takes a few ms total, so co-sorting the payloads beats
+    argsort + per-array ``take`` by a wide margin.  Returns
+    ``(X_sorted, extras_sorted)``.
+    """
+    from particles_tpu import hilbert
+
+    if X.ndim == 1:
+        out = hilbert.hilbert_sort_with(X, (X,) + tuple(extras))
+        return out[0], out[1:]
+    d = X.shape[1]
+    cols = tuple(X[:, j] for j in range(d)) + tuple(extras)
+    out = hilbert.hilbert_sort_with(X, cols)
+    return jnp.stack(out[:d], axis=1), out[d:]
+
+
 def _step0(fk, key, N, qmc, summaries, ESSrmin, constrain=None):
     """Initial step, with concrete t=0 (outside any scan)."""
     k0, k_col, knext = jax.random.split(key, 3)
@@ -182,6 +202,11 @@ def _step0(fk, key, N, qmc, summaries, ESSrmin, constrain=None):
     lw = fk.logG(0, None, X)
     if constrain is not None:
         X, lw = constrain(X, lw)
+    if qmc:
+        # SQMC invariant: the carry holds particles in Hilbert order, so
+        # every later step's inverse-CDF resampling is an offspring-counts
+        # repeat with NO random gathers (see _step_qmc)
+        X, (lw,) = _qmc_reorder(X, (lw,))
     wgts = rs.Weights(lw)
     loglt = wgts.log_mean
     logLt = loglt
@@ -207,11 +232,8 @@ def _step0(fk, key, N, qmc, summaries, ESSrmin, constrain=None):
         states, outs = (), ()
     carry = _Carry(key=knext, X=X, lw=lw, logLt=logLt,
                    log_mean_w=wgts.log_mean, col_states=states)
-    if qmc:
-        from particles_tpu import hilbert
-
-        h_order = hilbert.hilbert_sort(X)
-        return carry, view, outs, h_order
+    # fourth element kept for call-site compatibility (was the Hilbert
+    # order; SQMC now keeps the carry itself Hilbert-ordered)
     return carry, view, outs, None
 
 
@@ -323,20 +345,33 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
     return carry, view, outs
 
 
-def _step_qmc(fk, carry, h_order, t, N, ESSrmin, summaries,
-              constrain=None):
+def _step_qmc(fk, carry, t, N, ESSrmin, summaries, constrain=None,
+              need_gen=True):
     """One SQMC step (reference core.py:339-349): always resample, using one
     scrambled-Sobol point set per step — the first coordinate drives an
     inverse-CDF resampling of the Hilbert-ordered particles, the remaining
     ``du`` coordinates are pushed through the deterministic kernel ``Gamma``.
 
-    ``h_order`` is the Hilbert sort order of the *current* particles
-    (computed at the previous step; one sort per step).
+    Gather-free design: the carry holds the particles ALREADY in Hilbert
+    order, so
+
+    * the inverse-CDF resampling is an offspring-counts repeat (the sorted
+      Sobol coordinate meets the sorted cumulative weights — Pallas kernel),
+    * sorting the Sobol first coordinate co-sorts the remaining ``du``
+      coordinates as payloads of one ``lax.sort``,
+    * the end-of-step Hilbert re-ordering co-sorts the new particles,
+      weights, ancestor indices and resampled ancestors in one more
+      multi-operand sort (ancestors index the previous Hilbert-ordered
+      generation, so the genealogy exposed to collectors/history stays
+      exact).
+
+    The pre-sort particle system is identical to a gather-based
+    implementation; only the (arbitrary) storage order differs.
     """
-    from particles_tpu import hilbert, rqmc
+    from particles_tpu import rqmc
 
     key, k_u, k_col = jax.random.split(carry.key, 3)
-    X, lw = carry.X, carry.lw
+    X, lw = carry.X, carry.lw  # Hilbert-ordered
     wgts = rs.Weights(lw)
     if fk.isAPF:
         logetat = fk.logeta(t - 1, X)
@@ -345,38 +380,54 @@ def _step_qmc(fk, carry, h_order, t, N, ESSrmin, summaries,
         logetat = None
         aux = wgts
 
+    use_pallas = constrain is None
     du = max(fk.du, 1)
     u = rqmc.sobol(k_u, N, du + 1)
-    tau = jnp.argsort(u[:, 0])
-    su = jnp.take(u[:, 0], tau)  # sorted first coordinate
-    W_h = jnp.take(aux.W, h_order)
-    cs = jnp.cumsum(W_h)
+    sorted_u = jax.lax.sort(
+        tuple(u[:, j] for j in range(du + 1)), num_keys=1
+    )
+    su = sorted_u[0]
+    cs = jnp.cumsum(aux.W)
     cs = cs / cs[-1]
     z = rs._merge_rank_counts(su, cs, N)
     z = z.at[-1].set(N)
     z = jax.lax.associative_scan(jnp.maximum, z)
     counts = jnp.diff(z, prepend=jnp.zeros(1, jnp.int32))
-    A_h = rs.counts_to_ancestors(counts, N)
-    A = jnp.take(h_order, A_h)
-    Xp = _gather(X, A)
+    # ancestor indices are only materialised when something consumes the
+    # genealogy (history, genealogy-reading collectors); need_gen is static
+    A_h = rs.counts_to_ancestors(counts, N) if need_gen else None
+    Xp = _repeat(X, counts, N, use_pallas=use_pallas)
     if fk.isAPF:
-        lw_reset = rs.log_mean_exp(logetat, W=wgts.W) - jnp.take(logetat, A)
+        logeta_anc = _repeat(logetat, counts, N, use_pallas=use_pallas)
+        lw_reset = rs.log_mean_exp(logetat, W=wgts.W) - logeta_anc
     else:
         lw_reset = jnp.zeros(N, dtype=lw.dtype)
 
-    v = jnp.take(u[:, 1:], tau, axis=0)
-    v = v[:, 0] if fk.du <= 1 else v
+    v = sorted_u[1] if fk.du <= 1 else jnp.stack(sorted_u[1:], axis=1)
     X_new = fk.Gamma(t, Xp, v)
     lw_new = lw_reset + fk.logG(t, Xp, X_new)
     if constrain is not None:
         X_new, lw_new = constrain(X_new, lw_new)
-    new_wgts = rs.Weights(lw_new)
-    loglt = new_wgts.log_mean  # always resampled
+
+    # restore the invariant: one multi-operand sort carries everything a
+    # consumer pairs elementwise with the new particles
+    if need_gen:
+        xp_cols = (Xp,) if X_new.ndim == 1 else tuple(
+            Xp[:, j] for j in range(Xp.shape[1])
+        )
+        X_h, rest = _qmc_reorder(X_new, (lw_new, A_h) + xp_cols)
+        lw_h, A_s = rest[0], rest[1]
+        Xp_h = rest[2] if X_new.ndim == 1 else jnp.stack(rest[2:], axis=1)
+    else:
+        X_h, (lw_h,) = _qmc_reorder(X_new, (lw_new,))
+        A_s, Xp_h = None, None
+    h_wgts = rs.Weights(lw_h)
+    loglt = h_wgts.log_mean  # always resampled
     logLt = carry.logLt + loglt
     rs_flag = jnp.asarray(True)
 
     view = StepView(
-        fk=fk, t=t, X=X_new, Xp=Xp, A=A, wgts=new_wgts, aux=aux,
+        fk=fk, t=t, X=X_h, Xp=Xp_h, A=A_s, wgts=h_wgts, aux=aux,
         rs_flag=rs_flag, logLt=logLt, loglt=loglt, N=N, ESSrmin=ESSrmin,
         key=k_col,
     )
@@ -385,11 +436,10 @@ def _step_qmc(fk, carry, h_order, t, N, ESSrmin, summaries,
     else:
         states, outs = (), ()
     carry = _Carry(
-        key=key, X=X_new, lw=lw_new, logLt=logLt,
-        log_mean_w=new_wgts.log_mean, col_states=states,
+        key=key, X=X_h, lw=lw_h, logLt=logLt,
+        log_mean_w=h_wgts.log_mean, col_states=states,
     )
-    h_order_new = hilbert.hilbert_sort(X_new)
-    return carry, h_order_new, view, outs
+    return carry, view, outs
 
 
 def _history_out(view, store_history):
@@ -402,9 +452,9 @@ def _run_full(fk, key, N, T, qmc, resampling_scheme, ESSrmin, summaries,
               store_history, constrain=None):
     """The whole filter as step0 + one lax.scan (jit this).
 
-    Under ``qmc=True`` this is the SQMC algorithm: the Hilbert sort order of
-    the current particles rides in the scan carry, and each step's history
-    frame additionally records it (for QMC-FFBS smoothing).
+    Under ``qmc=True`` this is the SQMC algorithm; the carry holds the
+    particles in Hilbert order (see _step_qmc), so stored history frames
+    are Hilbert-ordered too (what QMC-FFBS smoothing needs).
 
     ``store_history``: ``False``, ``True`` (stack every frame as a scan
     output), or ``("slots", slot_of_t, nslots)`` for windowed storage
@@ -420,12 +470,7 @@ def _run_full(fk, key, N, T, qmc, resampling_scheme, ESSrmin, summaries,
         slots = jnp.asarray(slot_seq, jnp.int32)
 
     def frame_of(view, h):
-        f = _history_out(view, full or windowed)
-        # only full history records Hilbert orders (QMC-FFBS needs the
-        # complete genealogy anyway)
-        if qmc and full:
-            f = f + (h,)
-        return f
+        return _history_out(view, full or windowed)
 
     def ring_write(ring, frame, slot):
         return jax.tree_util.tree_map(
@@ -448,37 +493,30 @@ def _run_full(fk, key, N, T, qmc, resampling_scheme, ESSrmin, summaries,
         )
         ring = ring_write(ring, frame0, int(slot_seq[0]))
 
-    if qmc:
-        def body(ch, t):
-            carry, h_order, ring = ch
-            carry, h_new, view, outs = _step_qmc(
-                fk, carry, h_order, t, N, ESSrmin, summaries, constrain
-            )
-            frame = frame_of(view, h_new)
-            if windowed:
-                ring = ring_write(ring, frame, slots[t])
-            return (carry, h_new, ring), (outs, frame if full else ())
+    need_gen = (full or windowed
+                or (summaries is not None and summaries.needs_genealogy))
 
-        ts = jnp.arange(1, T, dtype=jnp.int32)
-        (carry, _, ring), (outs_rest, hist_rest) = jax.lax.scan(
-            body, (carry, h0, ring), ts
-        )
-    else:
-        def body(c, t):
-            carry, ring = c
+    def body(c, t):
+        carry, ring = c
+        if qmc:
+            carry, view, outs = _step_qmc(
+                fk, carry, t, N, ESSrmin, summaries, constrain,
+                need_gen=need_gen,
+            )
+        else:
             carry, view, outs = _step(
                 fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
                 constrain
             )
-            frame = frame_of(view, None)
-            if windowed:
-                ring = ring_write(ring, frame, slots[t])
-            return (carry, ring), (outs, frame if full else ())
+        frame = frame_of(view, None)
+        if windowed:
+            ring = ring_write(ring, frame, slots[t])
+        return (carry, ring), (outs, frame if full else ())
 
-        ts = jnp.arange(1, T, dtype=jnp.int32)
-        (carry, ring), (outs_rest, hist_rest) = jax.lax.scan(
-            body, (carry, ring), ts
-        )
+    ts = jnp.arange(1, T, dtype=jnp.int32)
+    (carry, ring), (outs_rest, hist_rest) = jax.lax.scan(
+        body, (carry, ring), ts
+    )
 
     # prepend step-0 outputs to the stacked scan outputs
     all_outs = jax.tree_util.tree_map(
@@ -582,10 +620,7 @@ class SMC:
         self.logLt = view.logLt
         self.loglt = view.loglt
         if self.store_history:
-            frame = _history_out(view, True)
-            if self.qmc:
-                frame = frame + (self._h_order,)
-            self._hist_frames.append(frame)
+            self._hist_frames.append(_history_out(view, True))
         if self._hist_obj is not None:
             self._hist_obj.save(self)
 
@@ -602,19 +637,18 @@ class SMC:
             return
         if self.t == 0:
             self._hist_frames = []
-            carry, view, outs, h0 = _step0(
+            carry, view, outs, _ = _step0(
                 self.fk, self.key, self.N, self.qmc, self.summaries, self.ESSrmin
             )
-            self._h_order = h0
         elif self.qmc:
             if not hasattr(self, "_jit_step_qmc"):
                 self._jit_step_qmc = jax.jit(
-                    lambda fk, carry, h, t: _step_qmc(
-                        fk, carry, h, t, self.N, self.ESSrmin, self.summaries,
+                    lambda fk, carry, t: _step_qmc(
+                        fk, carry, t, self.N, self.ESSrmin, self.summaries,
                     ),
                 )
-            carry, self._h_order, view, outs = self._jit_step_qmc(
-                self.fk, self._carry, self._h_order, jnp.int32(self.t)
+            carry, view, outs = self._jit_step_qmc(
+                self.fk, self._carry, jnp.int32(self.t)
             )
         else:
             if not hasattr(self, "_jit_step"):
@@ -690,8 +724,6 @@ class SMC:
             "key": np.asarray(jax.random.key_data(self.key)),
             "summaries": None,
         }
-        if self.qmc and getattr(self, "_h_order", None) is not None:
-            state["h_order"] = np.asarray(self._h_order)
         if getattr(self, "_hist_frames", None):
             state["hist_frames"] = dump_tree(self._hist_frames)
         if self.hist is not None and hasattr(self.hist, "save") and hasattr(
@@ -737,12 +769,6 @@ class SMC:
         self.wgts = rs.Weights(self._carry.lw)
         self.logLt = self._carry.logLt
         self.A, self.aux, self.rs_flag, self.loglt = None, None, None, None
-        if "h_order" in state:
-            self._h_order = jnp.asarray(state["h_order"])
-        elif self.qmc:
-            raise ValueError(
-                "load_state: checkpoint has no Hilbert order but qmc=True"
-            )
         self._hist_frames = (
             load_tree(state["hist_frames"]) if "hist_frames" in state else []
         )
@@ -766,7 +792,8 @@ class SMC:
             )
             from particles_tpu.smoothing import ParticleHistory
 
-            self.hist = ParticleHistory(self.fk, *stacked)
+            self.hist = ParticleHistory(self.fk, *stacked,
+                                        hilbert_ordered=self.qmc)
 
     # ------------------------------------------------------------------
     # compiled whole-horizon execution
@@ -863,7 +890,8 @@ class SMC:
         if self.store_history:
             from particles_tpu.smoothing import ParticleHistory
 
-            self.hist = ParticleHistory(self.fk, *hist)
+            self.hist = ParticleHistory(self.fk, *hist,
+                                        hilbert_ordered=self.qmc)
         elif isinstance(hist_spec, tuple):
             self._install_windowed_hist(hist, T)
 
@@ -1024,6 +1052,7 @@ def multiSMC(
                 res.hist = ParticleHistory(
                     fk_v,
                     *jax.tree_util.tree_map(lambda h: h[r], hists),
+                    hilbert_ordered=qmc_v,
                 )
             out_obj = res if out_func is None else out_func(res)
             entry = {k: labels[k] for k in varying_keys}

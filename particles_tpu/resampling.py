@@ -477,11 +477,15 @@ def stratified_counts(key, W, M):
 
 
 def _merge_rank_counts(su, cs, M):
-    """z_i = #{j: su_j <= cs_i} for sorted su, via one lax.sort (no gather).
+    """z_i = #{j: su_j <= cs_i} for sorted su, via two lax.sorts (no gather,
+    no scatter).
 
-    ``lax.sort`` carries the origin flags along with the keys, so no random
-    permutation gather is needed; the extraction scatter uses monotone
-    indices.
+    Sort 1 merges the two sorted streams, carrying origin flags; the
+    running count of su entries at each cs position is then extracted by a
+    *second* stable sort on the flag (a stream compaction: cs entries move
+    to the front in order, carrying their counts as payload).  A scatter
+    extraction (``at[target].max``) measures 2x slower than the compaction
+    sort on v5e (22.3 vs 10.9 ms at N=2^20).
     """
     N = cs.shape[0]
     both = jnp.concatenate([cs, su])
@@ -492,15 +496,10 @@ def _merge_rank_counts(su, cs, M):
     # (flag 1) so that su_j == cs_i counts as su_j <= cs_i, matching
     # inverse_cdf's searchsorted(side='left') convention
     sorted_key, sorted_iscs = jax.lax.sort((both, is_cs), num_keys=2)
-    n_su_before = jnp.cumsum(1 - sorted_iscs)
-    rank_among_cs = jnp.cumsum(sorted_iscs) - 1
-    target = jnp.where(sorted_iscs == 1, rank_among_cs, N)
-    z = (
-        jnp.zeros(N, jnp.int32)
-        .at[target]
-        .max(n_su_before.astype(jnp.int32), mode="drop")
-    )
-    return jnp.clip(z, 0, M)
+    n_su_before = jnp.cumsum(1 - sorted_iscs).astype(jnp.int32)
+    front = (1 - sorted_iscs).astype(jnp.int32)  # cs -> key 0: sorts first
+    _, z = jax.lax.sort((front, n_su_before), num_keys=1, is_stable=True)
+    return jnp.clip(z[:N], 0, M)
 
 
 @resampling_counts_scheme

@@ -123,14 +123,17 @@ class ParticleHistory:
     Attributes: ``X`` pytree with (T, N, ...) leaves, ``A`` (T, N) int32,
     ``lw`` (T, N).  ``wgts[t]``-style access of the reference becomes
     ``wgts_at(t)``; ``wgts`` (no index) is the final-time Weights.
+    ``hilbert_ordered`` records that the forward pass was SQMC, whose
+    engine stores every frame in Hilbert order (with ancestor indices into
+    the previous Hilbert-ordered frame) — the layout QMC-FFBS needs.
     """
 
-    def __init__(self, fk, X, A, lw, h_orders=None):
+    def __init__(self, fk, X, A, lw, hilbert_ordered=False):
         self.fk = fk
         self.X = X
         self.A = A
         self.lw = lw
-        self.h_orders = h_orders
+        self.hilbert_ordered = hilbert_ordered
 
     @property
     def T(self):
@@ -344,8 +347,10 @@ class ParticleHistory:
 
     def backward_sampling_qmc(self, key, M):
         """QMC FFBS (reference smoothing.py:425-456); requires the forward
-        pass to have been run with ``qmc=True`` (Hilbert orders stored)."""
-        if self.h_orders is None:
+        pass to have been run with ``qmc=True`` — the SQMC engine stores
+        every frame in Hilbert order, so the inverse-CDF lookups below act
+        directly on stored indices (no per-step permutation)."""
+        if not self.hilbert_ordered:
             raise ValueError(
                 "QMC FFBS requires particles to have been Hilbert-ordered "
                 "during the forward pass (run SMC with qmc=True)"
@@ -354,32 +359,28 @@ class ParticleHistory:
 
         u = rqmc.sobol(key, M, self.T)
         fk = self.fk
-        # final time: inverse-CDF in Hilbert order
-        hT = self.h_orders[-1]
-        WT = jnp.take(self.wgts.W, hT)
+        # final time: inverse-CDF over the (Hilbert-ordered) final weights.
         # searchsorted-style lookup of the UNSORTED final coordinates keeps
         # each trajectory's Sobol coordinates paired across time
         # (reference smoothing.py:440-442)
-        csT = jnp.cumsum(WT)
-        idx = jnp.clip(
+        csT = jnp.cumsum(self.wgts.W)
+        idx_T = jnp.clip(
             jnp.searchsorted(csT, u[:, -1], side="left"), 0, self.N - 1
         ).astype(jnp.int32)
-        idx_T = jnp.take(hT, idx)
 
         def body(idx_next, inputs):
-            t, u_t, X_t, lw_t, h_t, X_t1 = inputs
+            t, u_t, X_t, lw_t, X_t1 = inputs
             xn = jax.tree_util.tree_map(
                 lambda leaf: jnp.take(leaf, idx_next, axis=0), X_t1
             )
             lwm = jax.vmap(
                 lambda x_one: lw_t + fk.logpt(t + 1, X_t, x_one)
-            )(xn)  # (M, N)
-            lwm_h = jnp.take(lwm, h_t, axis=1)
+            )(xn)  # (M, N), columns already in Hilbert order of time t
             cw = jnp.cumsum(
-                jax.nn.softmax(lwm_h, axis=1), axis=1
+                jax.nn.softmax(lwm, axis=1), axis=1
             )
             pos = jnp.sum(u_t[:, None] > cw, axis=1)
-            idx_t = jnp.take(h_t, jnp.clip(pos, 0, self.N - 1))
+            idx_t = jnp.clip(pos, 0, self.N - 1).astype(jnp.int32)
             return idx_t, idx_t
 
         ts = jnp.arange(self.T - 1, dtype=jnp.int32)
@@ -388,7 +389,6 @@ class ParticleHistory:
             u[:, :-1].T[::-1],
             jax.tree_util.tree_map(lambda leaf: leaf[-2::-1], self.X),
             self.lw[-2::-1],
-            self.h_orders[-2::-1],
             jax.tree_util.tree_map(lambda leaf: leaf[:0:-1], self.X),
         )
         _, idx_rev = jax.lax.scan(body, idx_T, inputs)

@@ -203,7 +203,7 @@ class TestSQMC:
             key=jax.random.key(4),
         )
         pf.run()
-        assert pf.hist.h_orders is not None
+        assert pf.hist.hilbert_ordered
         paths = pf.hist.backward_sampling_qmc(jax.random.key(5), 500)
         means = np.asarray(jnp.mean(paths, axis=1))
         exact = np.asarray(kf.smth.mean)[:, 0]
