@@ -477,16 +477,24 @@ def stratified_counts(key, W, M):
 
 
 def _merge_rank_counts(su, cs, M):
-    """z_i = #{j: su_j <= cs_i} for sorted su, via two lax.sorts (no gather,
-    no scatter).
+    """z_i = #{j: su_j <= cs_i} for sorted su — the sorted-merge rank count
+    at the core of every inverse-CDF resampling formulation.
 
-    Sort 1 merges the two sorted streams, carrying origin flags; the
-    running count of su entries at each cs position is then extracted by a
-    *second* stable sort on the flag (a stream compaction: cs entries move
-    to the front in order, carrying their counts as payload).  A scatter
-    extraction (``at[target].max``) measures 2x slower than the compaction
-    sort on v5e (22.3 vs 10.9 ms at N=2^20).
+    On TPU (float32, 1024-multiple N) this routes through a Pallas
+    streaming-merge kernel (ops/merge_rank_kernel.py, ~2 ms at 2^20,
+    bit-equal).  The XLA fallback uses two lax.sorts (no gather, no
+    scatter): sort 1 merges the two sorted streams carrying origin flags;
+    the running count of su entries at each cs position is then extracted
+    by a *second* stable sort on the flag (a stream compaction: cs entries
+    move to the front in order, carrying their counts as payload).  A
+    scatter extraction (``at[target].max``) measures 2x slower than the
+    compaction sort on v5e (22.3 vs 10.9 ms at N=2^20).
     """
+    from particles_tpu.ops.merge_rank_kernel import merge_rank_counts
+
+    z = merge_rank_counts(su, cs, M)
+    if z is not None:
+        return z
     N = cs.shape[0]
     both = jnp.concatenate([cs, su])
     is_cs = jnp.concatenate(

@@ -315,6 +315,48 @@ class TestRepeatKernels:
             rk._on_tpu = orig_on_tpu
             rk._repeat_pallas.clear_cache()
 
+    @pytest.mark.parametrize("N", [1024, 4096])
+    def test_merge_rank_kernel_matches_sort(self, N):
+        """The Pallas merge-rank kernel is bit-equal to the sort-based
+        formulation, including value ties (interpret mode)."""
+        from jax.experimental import pallas as pl
+        import particles_tpu.ops.merge_rank_kernel as mk
+
+        orig = pl.pallas_call
+
+        def patched(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        mk.pl.pallas_call = patched
+        orig_on_tpu = mk._on_tpu
+        mk._on_tpu = lambda: True
+        try:
+            rng = np.random.default_rng(N)
+            W = rng.dirichlet(np.ones(N) * 0.3).astype(np.float32)
+            cs = np.cumsum(W)
+            cs = (cs / cs[-1]).astype(np.float32)
+            su = np.sort(rng.uniform(size=N)).astype(np.float32)
+            ref = rs._merge_rank_counts(jnp.asarray(su), jnp.asarray(cs), N)
+            got = mk.merge_rank_counts(jnp.asarray(su), jnp.asarray(cs), N)
+            assert got is not None
+            assert bool(jnp.all(ref == got))
+            # ties: su containing exact cs values must follow the
+            # side='left' convention (tied su counts)
+            su2 = np.sort(
+                np.concatenate([cs[: N // 2], rng.uniform(size=N - N // 2)])
+            ).astype(np.float32)
+            ref2 = rs._merge_rank_counts(jnp.asarray(su2), jnp.asarray(cs), N)
+            got2 = mk.merge_rank_counts(jnp.asarray(su2), jnp.asarray(cs), N)
+            assert bool(jnp.all(ref2 == got2))
+            # M != N returns None (caller falls back)
+            assert mk.merge_rank_counts(
+                jnp.asarray(su[: N // 2]), jnp.asarray(cs), N // 2) is None
+        finally:
+            mk.pl.pallas_call = orig
+            mk._on_tpu = orig_on_tpu
+            mk._merge_pallas.clear_cache()
+
     def test_v1_fallback_cases(self):
         """d > 3, M != N, and tiny N fall back to jnp.repeat (still exact)."""
         import particles_tpu.ops.repeat_kernel as rk
