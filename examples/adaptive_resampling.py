@@ -5,6 +5,13 @@ TPU-native counterpart of book/filtering/adaptive_resampling.py (quoted at
 multiSMC call over the full cartesian grid, batched on device.
 """
 
+# allow running directly from a source checkout
+import os as _os
+import sys as _sys
+_sys.path.insert(
+    0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), ".."))
+)
+
 import numpy as np
 
 import jax

@@ -1,6 +1,13 @@
 """Evidence estimation: vanilla nested sampling vs NS-SMC vs adaptive
 tempering, on a conjugate Gaussian model with known evidence."""
 
+# allow running directly from a source checkout
+import os as _os
+import sys as _sys
+_sys.path.insert(
+    0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), ".."))
+)
+
 import numpy as np
 import scipy.stats as st
 

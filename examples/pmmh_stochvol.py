@@ -6,6 +6,13 @@ chain (with a full inner particle filter per iteration) is one compiled
 lax.scan.
 """
 
+# allow running directly from a source checkout
+import os as _os
+import sys as _sys
+_sys.path.insert(
+    0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), ".."))
+)
+
 import time
 
 import numpy as np

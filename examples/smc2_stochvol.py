@@ -7,6 +7,13 @@ inner bootstrap filter, advanced as one vmapped scan per observation, with
 Nx doubling (exchange steps) on low MCMC acceptance.
 """
 
+# allow running directly from a source checkout
+import os as _os
+import sys as _sys
+_sys.path.insert(
+    0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), ".."))
+)
+
 import time
 
 import numpy as np

@@ -6,6 +6,13 @@ for logistic regression on the Pima dataset, with single-run variance
 estimates from the waste-free structure.
 """
 
+# allow running directly from a source checkout
+import os as _os
+import sys as _sys
+_sys.path.insert(
+    0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), ".."))
+)
+
 import numpy as np
 
 import jax

@@ -6,6 +6,13 @@ adaptive tempering on {0,1}^p with a nested-logistic independent proposal
 one batched masked Cholesky per evaluation.
 """
 
+# allow running directly from a source checkout
+import os as _os
+import sys as _sys
+_sys.path.insert(
+    0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), ".."))
+)
+
 import numpy as np
 
 import jax

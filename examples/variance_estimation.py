@@ -5,6 +5,13 @@ variance over independent runs.
 Counterpart of the reference's variance_estimation notebook experiments.
 """
 
+# allow running directly from a source checkout
+import os as _os
+import sys as _sys
+_sys.path.insert(
+    0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), ".."))
+)
+
 import numpy as np
 
 import jax

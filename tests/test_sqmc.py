@@ -193,6 +193,25 @@ class TestSQMC:
         pf.run()
         assert abs(float(pf.logLt) - exact) < 0.3
 
+    def test_multivariate_sqmc(self):
+        """d=3 states: the two-limb Hilbert key co-sort path.  SQMC must be
+        unbiased (vs exact Kalman) and dominate SMC in variance."""
+        mv = kalman.MVLinearGauss_Guarniero_etal(alpha=0.4, dx=3)
+        _, y = mv.simulate(jax.random.key(7), 20)
+        kf = kalman.Kalman(ssm=mv, data=y)
+        kf.filter()
+        fk = ssms.Bootstrap(ssm=mv, data=y)
+        lls_s, lls_q = [], []
+        for s in range(10):
+            p = particles.SMC(fk=fk, N=1000, key=jax.random.key(100 + s))
+            p.run()
+            lls_s.append(float(p.logLt))
+            q = particles.SQMC(fk=fk, N=1000, key=jax.random.key(100 + s))
+            q.run()
+            lls_q.append(float(q.logLt))
+        assert abs(np.mean(lls_q) - float(kf.logLt)) < 0.3
+        assert np.var(lls_q) < np.var(lls_s)
+
     def test_qmc_ffbs(self, lg):
         ssm, y, _ = lg
         kf = kalman.Kalman(ssm=ssm, data=y)
