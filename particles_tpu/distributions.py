@@ -27,6 +27,7 @@ Default dtype is float32 (TPU-native); pass float64 arrays under
 
 from __future__ import annotations
 
+import math
 from collections import OrderedDict
 
 import jax
@@ -36,7 +37,9 @@ from jax.scipy import stats as jsp_stats
 
 from particles_tpu.utils.struct import Pytree
 
-HALFLOG2PI = 0.5 * float(jnp.log(2.0 * jnp.pi))
+# math, not jnp: module import must never touch a device (backend init may be
+# expensive or broken at import time, e.g. mid-flight libtpu upgrades).
+HALFLOG2PI = 0.5 * math.log(2.0 * math.pi)
 
 __all__ = [
     "ProbDist",
