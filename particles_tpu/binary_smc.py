@@ -186,12 +186,12 @@ class BinaryMetropolis(ssps.ArrayMetropolis):
         return {"prop_coeffs": prop.coeffs, "prop_edgy": prop.edgy}
 
     def step(self, key, x, target):
-        k1, k2 = jax.random.split(key)
+        k1, k2, kt = jax.random.split(key, 3)
         prop_dist = NestedLogistic(
             x.shared["prop_coeffs"], x.shared["prop_edgy"]
         )
         gamma_prop = prop_dist.rvs(k1, size=x.N)
-        xprop = target(x.replace(theta={"gamma": gamma_prop}))
+        xprop = target(x.replace(theta={"gamma": gamma_prop}), key=kt)
         delta_lp = prop_dist.logpdf(x.theta["gamma"]) - prop_dist.logpdf(
             gamma_prop
         )

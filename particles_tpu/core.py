@@ -294,11 +294,12 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
             A = rs.counts_to_ancestors(counts, N)
             Xp = _repeat(X, counts, N, use_pallas=constrain is None)
             if fk.isAPF:
-                from particles_tpu.ops import repeat_by_counts
-
-                reset_lw = rs.log_mean_exp(
-                    logetat, W=wgts.W
-                ) - repeat_by_counts(logetat, counts, N)
+                # same pallas gate as the particle move: GSPMD cannot
+                # partition pallas_call, so sharded runs (constrain set)
+                # must take the XLA repeat here too
+                reset_lw = rs.log_mean_exp(logetat, W=wgts.W) - _repeat(
+                    logetat, counts, N, use_pallas=constrain is None
+                )
             else:
                 reset_lw = jnp.zeros(N, dtype=lw.dtype)
         else:
@@ -897,6 +898,7 @@ class SMC:
 
 
 _runner_cache = {}
+_RUNNER_CACHE_MAX = 64
 
 
 def _hashable(v):
@@ -928,6 +930,12 @@ def _get_compiled_runner(fk_cls, N, T, qmc, resampling_scheme, ESSrmin,
     cache_key = (fk_cls, N, T, qmc, resampling_scheme, ESSrmin,
                  _summaries_signature(summaries), store_history)
     if cache_key not in _runner_cache:
+        if len(_runner_cache) >= _RUNNER_CACHE_MAX:
+            # Evict oldest half (dicts preserve insertion order).  Unbounded
+            # growth in a long-lived process (hundreds of distinct configs)
+            # pins every compiled executable in memory forever.
+            for k in list(_runner_cache)[: _RUNNER_CACHE_MAX // 2]:
+                del _runner_cache[k]
 
         def run(fk, key):
             return _run_full(

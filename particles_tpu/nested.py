@@ -248,7 +248,7 @@ class NestedSamplingSMC(ssps.FKSMCsampler):
         )
 
     def current_target(self, lt):
-        def target(xx):
+        def target(xx, key=None):
             lprior = self.model.prior.logpdf(xx.theta)
             llik = self.model.loglik(xx.theta)
             lpost = jnp.where(

@@ -174,6 +174,7 @@ def repeat_by_counts(x, counts, M):
     """
     N = x.shape[0]
     is_int = jnp.issubdtype(x.dtype, jnp.integer)
+    is_f64 = x.dtype == jnp.float64
     routable = (
         x.ndim in (1, 2)
         and (x.ndim == 1 or x.shape[1] <= _MAX_COLS)
@@ -181,6 +182,7 @@ def repeat_by_counts(x, counts, M):
         and N >= _C
         and _on_tpu()
         and not (is_int and N >= 2**24)  # float32 routing only exact < 2^24
+        and not is_f64  # kernel is float32; never silently truncate x64
     )
     if not routable:
         return jnp.repeat(x, counts, axis=0, total_repeat_length=M)

@@ -370,12 +370,17 @@ class ArrayMetropolis(ArrayMCMC):
         raise NotImplementedError
 
     def step(self, key, x, target):
-        k1, k2 = jax.random.split(key)
+        k1, k2, kt = jax.random.split(key, 3)
         arr = view_2d_array(x.theta)
         arr_prop, delta_lp = self.proposal(k1, x, arr)
         # replace() keeps any extra per-particle fields (e.g. SMC2's inner
-        # filter state) so proposal and current system share one structure
-        xprop = target(x.replace(theta=theta_from_2d(arr_prop, x.theta)))
+        # filter state) so proposal and current system share one structure.
+        # kt gives pseudo-marginal targets (SMC2 replay) FRESH auxiliary
+        # randomness at every MCMC step — successive moves must not reuse
+        # replay randomness (reference smc_samplers.py:1129-1143 rebuilds
+        # inner filters with new draws each time).
+        xprop = target(x.replace(theta=theta_from_2d(arr_prop, x.theta)),
+                       key=kt)
         lp_acc = xprop.lpost - x.lpost + delta_lp
         # NaN log-posteriors (e.g. proposals outside the prior support
         # propagating through model recursions) mean "reject"
@@ -584,7 +589,7 @@ class IBIS(FKSMCsampler):
         return x.with_shared(acc_rate=jnp.float32(0.0), **cal)
 
     def move_target(self, t, x):
-        def target(xx):
+        def target(xx, key=None):
             lpost = self.model.logpost(xx.theta, t=t - 1)
             return xx.replace(lpost=lpost)
 
@@ -627,7 +632,7 @@ class Tempering(FKSMCsampler):
         )
 
     def current_target(self, epn):
-        def target(xx):
+        def target(xx, key=None):
             lprior = self.model.prior.logpdf(xx.theta)
             llik = self.model.loglik(xx.theta)
             lpost = lprior + jnp.where(epn > 0.0, epn * llik, 0.0)
@@ -794,12 +799,16 @@ def _sampler_step(fk, carry, t, N, resampling_scheme, ESSrmin):
 
 
 _sampler_jit_cache = {}
+_SAMPLER_CACHE_MAX = 64
 
 
 def _jitted_sampler_step(fk, N, scheme, ESSrmin):
     cache_key = (type(fk), fk.wastefree, fk.len_chain, type(fk.move),
                  N, scheme, ESSrmin)
     if cache_key not in _sampler_jit_cache:
+        if len(_sampler_jit_cache) >= _SAMPLER_CACHE_MAX:
+            for k in list(_sampler_jit_cache)[: _SAMPLER_CACHE_MAX // 2]:
+                del _sampler_jit_cache[k]
         _sampler_jit_cache[cache_key] = jax.jit(
             lambda fk, carry, t: _sampler_step(fk, carry, t, N, scheme,
                                                ESSrmin)
@@ -1092,13 +1101,17 @@ class SMC2(FKSMCsampler):
         time t-1 (the replay, reference smc_samplers.py:1129-1143)."""
         Nx = x.xs.shape[1]  # xs is (Ntheta, Nx[, dx])
 
-        def target(xx):
+        def target(xx, key=None):
             N0 = xx.N
-            keys = jax.vmap(jax.random.fold_in)(
-                x.pf_key[:N0] if x.pf_key.shape[0] >= N0 else
-                jax.random.split(jax.random.key(3), N0),
-                jnp.arange(N0),
-            )
+            if key is not None:
+                # fresh replay randomness per MCMC step (passed by
+                # ArrayMetropolis.step) — successive moves must not reuse
+                # inner-filter draws (pseudo-marginal correctness)
+                keys = jax.random.split(key, N0)
+            else:
+                keys = jax.vmap(jax.random.fold_in)(
+                    xx.pf_key, jnp.arange(N0)
+                )
 
             def one(i):
                 th_i = {p: xx.theta[p][i] for p in xx.theta}
@@ -1151,8 +1164,19 @@ class SMC2(FKSMCsampler):
             xs=xs, lws=lws, loglik=ll_new, lpost=x.lpost + delta
         )
         new_lw = smc._carry.lw + delta
-        smc._carry = smc._carry._replace(X=x, lw=new_lw)
+        new_wgts = rs.Weights(new_lw)
+        # evidence correction: the reweighting by exp(delta) contributes
+        # log E_W[exp(delta)] to logLt (reference smc_samplers.py:1118 folds
+        # delta into the next potential; we account for it here and refresh
+        # log_mean_w so the next step's increment is measured against the
+        # post-exchange weights — no term is lost when that step resamples).
+        corr = new_wgts.log_mean - smc._carry.log_mean_w
+        smc._carry = smc._carry._replace(
+            X=x, lw=new_lw, logLt=smc._carry.logLt + corr,
+            log_mean_w=new_wgts.log_mean,
+        )
         smc.X = x
-        smc.wgts = rs.Weights(new_lw)
+        smc.wgts = new_wgts
+        smc.logLt = smc._carry.logLt
         if smc.verbose:
             print(f"t={smc.t}: exchange step, Nx -> {new_Nx}")

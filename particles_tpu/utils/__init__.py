@@ -29,9 +29,9 @@ def timer(method):
     """
 
     @functools.wraps(method)
-    def timed_method(self, **kwargs):
+    def timed_method(self, *args, **kwargs):
         starting_time = time.perf_counter()
-        out = method(self, **kwargs)
+        out = method(self, *args, **kwargs)
         jax.block_until_ready(out if out is not None
                               else getattr(self, "logLt", None))
         self.cpu_time = time.perf_counter() - starting_time

@@ -306,3 +306,81 @@ class TestSMC2InnerLoglik:
             pf.run()
             lls.append(float(jnp.mean(pf.X.loglik)))
         assert abs(np.mean(lls) - exact) < 0.05, (np.mean(lls), exact)
+
+
+class TestSMC2ExchangeAccounting:
+    """White-box checks of the exchange step's evidence accounting and the
+    replay key hygiene (reference smc_samplers.py:1118, 1129-1143)."""
+
+    def _setup(self, ar=0.95):
+        true = kalman.LinearGauss(rho=0.8, sigmaX=1.0, sigmaY=0.5)
+        _, y = true.simulate(jax.random.key(0), 8)
+
+        class LGfixed(kalman.LinearGauss):
+            default_params = {
+                "sigmaY": 0.5, "rho": 0.9, "sigmaX": 1.0, "sigma0": None
+            }
+
+        prior = dists.StructDist({"rho": dists.Uniform(a=-0.99, b=0.99)})
+        return LGfixed, prior, y
+
+    def test_exchange_updates_logLt_by_weighted_delta(self):
+        LGfixed, prior, y = self._setup()
+        known_delta = 0.3
+
+        class FixedDeltaSMC2(ssp.SMC2):
+            """Exchange whose replay pretends each new filter's loglik is
+            the old one + known_delta (isolates the accounting)."""
+
+            def _replay_all(self, key, x, t, new_Nx):
+                xs = jnp.zeros(x.xs.shape[:1] + (new_Nx,) + x.xs.shape[2:])
+                lws = jnp.zeros(x.lws.shape[:1] + (new_Nx,))
+                return xs, lws, x.loglik + known_delta
+
+        fk = FixedDeltaSMC2(
+            ssm_cls=LGfixed, prior=prior, data=y, init_Nx=16, len_chain=3,
+            ar_to_increase_Nx=2.0,  # always trigger after a resample-move
+        )
+        pf = particles.SMC(fk=fk, N=32, key=jax.random.key(5))
+        # step until a resample-move step happened
+        next(pf)
+        while not bool(pf.rs_flag):
+            next(pf)
+        logLt_before = float(pf._carry.logLt)
+        lw_before = np.asarray(pf._carry.lw)
+        from particles_tpu import resampling as rs
+
+        W = np.asarray(rs.exp_and_normalise(jnp.asarray(lw_before)))
+        expected_corr = np.log(np.sum(W * np.exp(known_delta)))
+        fk.maybe_exchange(pf)
+        assert pf.X.xs.shape[1] == 32  # Nx doubled
+        got_corr = float(pf._carry.logLt) - logLt_before
+        assert abs(got_corr - expected_corr) < 1e-4, (got_corr, expected_corr)
+        # log_mean_w refreshed to the post-exchange weights
+        lme_new = float(jnp.log(jnp.mean(jnp.exp(
+            jnp.asarray(lw_before + known_delta)
+            - np.max(lw_before + known_delta)
+        ))) + np.max(lw_before + known_delta))
+        assert abs(float(pf._carry.log_mean_w) - lme_new) < 1e-4
+        # constant delta: weights unchanged after normalisation, and the
+        # correction reduces to delta itself
+        assert abs(got_corr - known_delta) < 1e-4
+
+    def test_move_target_uses_fresh_keys(self):
+        """Two target evaluations with different keys must replay with
+        different inner randomness (pseudo-marginal hygiene: no fixed seed,
+        no reuse across successive moves)."""
+        LGfixed, prior, y = self._setup()
+        fk = ssp.SMC2(
+            ssm_cls=LGfixed, prior=prior, data=y, init_Nx=16, len_chain=3,
+        )
+        pf = particles.SMC(fk=fk, N=24, key=jax.random.key(2))
+        for _ in range(3):
+            next(pf)
+        x = pf._carry.X
+        target = fk.move_target(pf.t, x)
+        ll_a = np.asarray(target(x, key=jax.random.key(10)).loglik)
+        ll_b = np.asarray(target(x, key=jax.random.key(11)).loglik)
+        ll_a2 = np.asarray(target(x, key=jax.random.key(10)).loglik)
+        assert not np.allclose(ll_a, ll_b)  # fresh randomness per key
+        np.testing.assert_allclose(ll_a, ll_a2)  # deterministic given key
