@@ -8,25 +8,26 @@ intercept), :class:`BinaryRegDataset` (same + the sign-flip trick) and
 (Nutria, Neuro, GBP_vs_USD_9798, Boston, Concrete, Pima, Liver, Eeg,
 Sonar).
 
-Data files are **not** bundled with this package (the reference ships the
-raw UCI/GPDD files under ``particles/datasets/``; redistributing them here
-would just duplicate that public data).  Each dataset class searches, in
-order:
+The nine raw public UCI/GPDD data files are bundled under
+``particles_tpu/data/`` (same files the reference ships under
+``particles/datasets/``).  Each dataset class searches, in order:
 
 1. ``$PARTICLES_TPU_DATA_PATH/<file_name>``,
-2. ``<this package>/data/<file_name>``,
+2. ``<this package>/data/<file_name>`` (the bundled copies),
 3. an installed copy of the reference library
    (``particles/datasets/<file_name>``), including ``$PARTICLES_DATA_PATH``.
 
 If the raw file is nowhere to be found, a **documented synthetic
 surrogate** with the same shape and statistical character is generated
-(deterministic seed), so that every example and test runs everywhere; the
-``synthetic`` attribute records which source was used.
+(deterministic seed) with a loud warning — published numbers will NOT
+reproduce on surrogates; the ``synthetic`` attribute records which source
+was used.
 """
 
 from __future__ import annotations
 
 import os
+import warnings
 from pathlib import Path
 
 import numpy as np
@@ -116,6 +117,13 @@ class Dataset:
                 self.synthetic = False
                 break
         else:
+            warnings.warn(
+                f"{type(self).__name__}: raw data file "
+                f"{self.file_name!r} not found in any search path; using a "
+                "SYNTHETIC surrogate — results will not match published "
+                "numbers. Set $PARTICLES_TPU_DATA_PATH to the real data.",
+                stacklevel=2,
+            )
             self.raw_data = self.synthesize(np.random.default_rng(20260816))
         self.data = self.preprocess(self.raw_data, **kwargs)
 

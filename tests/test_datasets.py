@@ -58,3 +58,39 @@ def test_timeseries_datasets(cls):
     assert d.data.ndim == 1
     assert np.isfinite(d.data).all()
     assert (d.data >= 0).all()
+
+
+REAL_RAW_SHAPES = {
+    datasets.Nutria: (120,),
+    datasets.Neuro: (3000,),
+    datasets.GBP_vs_USD_9798: (751,),
+    datasets.Boston: (506, 14),
+    datasets.Concrete: (1030, 9),
+    datasets.Pima: (768, 9),
+    datasets.Liver: (579, 11),
+    datasets.Eeg: (14980, 15),
+    datasets.Sonar: (208, 61),
+}
+
+
+@pytest.mark.parametrize("cls", list(REAL_RAW_SHAPES))
+def test_real_data_bundled(cls):
+    """The nine raw files ship with the package: every dataset must load
+    real data (no synthetic surrogate) from particles_tpu/data, regardless
+    of whether a reference checkout exists."""
+    from pathlib import Path
+
+    pkg_data = Path(datasets.__file__).parent / "data"
+    assert (pkg_data / cls.file_name).exists(), cls.file_name
+    d = cls()
+    assert not d.synthetic
+    assert d.raw_data.shape == REAL_RAW_SHAPES[cls]
+
+
+def test_synthetic_fallback_warns():
+    class Missing(datasets.Nutria):
+        file_name = "definitely_not_a_file.txt"
+
+    with pytest.warns(UserWarning, match="SYNTHETIC"):
+        d = Missing()
+    assert d.synthetic
