@@ -5,8 +5,10 @@ Counterpart of reference ``rqmc.py`` (rqmc.py:14-21), which delegates to
 draws *inside* the compiled filter loop (one scrambled set per time step),
 so Sobol is implemented natively:
 
-* direction numbers from the standard Joe & Kuo (new-joe-kuo-6) table
-  (first 21 dimensions hard-coded; validated against scipy in the tests);
+* direction numbers from the standard Joe & Kuo (new-joe-kuo-6) table,
+  bundled as package data for all 21201 dimensions
+  (``data/sobol_joe_kuo.npz``, see ``tools/extract_sobol_table.py``;
+  validated bit-exact against scipy in the tests);
 * randomisation by **linear matrix scramble + digital shift** (Matousek's
   LMS, the scheme scipy's ``qmc.Sobol(scramble=True)`` uses, which the
   reference delegates to): each dimension's direction numbers are
@@ -31,67 +33,68 @@ import numpy as np
 __all__ = ["sobol", "halton", "latin", "sobol_unscrambled"]
 
 
-# Joe & Kuo new-joe-kuo-6 table: (s, a, [m_1..m_s]) for dimensions 2..21
-# (dimension 1 is the van der Corput sequence).
-_JOE_KUO = [
-    (1, 0, [1]),
-    (2, 1, [1, 3]),
-    (3, 1, [1, 3, 1]),
-    (3, 2, [1, 1, 1]),
-    (4, 1, [1, 1, 3, 3]),
-    (4, 4, [1, 3, 5, 13]),
-    (5, 2, [1, 1, 5, 5, 17]),
-    (5, 4, [1, 1, 5, 5, 5]),
-    (5, 7, [1, 1, 7, 11, 19]),
-    (5, 11, [1, 1, 5, 1, 1]),
-    (5, 13, [1, 1, 1, 3, 11]),
-    (5, 14, [1, 3, 5, 5, 31]),
-    (6, 1, [1, 3, 3, 9, 7, 49]),
-    (6, 13, [1, 1, 1, 15, 21, 21]),
-    (6, 16, [1, 3, 1, 13, 27, 49]),
-    (6, 19, [1, 1, 1, 15, 7, 5]),
-    (6, 22, [1, 3, 1, 15, 13, 25]),
-    (6, 25, [1, 1, 5, 5, 19, 61]),
-    (7, 1, [1, 3, 7, 11, 23, 15, 103]),
-    (7, 4, [1, 3, 7, 13, 13, 15, 69]),
-]
-
 _BITS = 32
+
+
+@functools.lru_cache(maxsize=None)
+def _joe_kuo_table():
+    """Bundled Joe & Kuo new-joe-kuo-6 table (21201 dimensions): primitive
+    polynomials and initial m-values, extracted by
+    ``tools/extract_sobol_table.py`` (same public data scipy redistributes;
+    the reference gets it via scipy, rqmc.py:14)."""
+    from pathlib import Path
+
+    path = Path(__file__).parent / "data" / "sobol_joe_kuo.npz"
+    npz = np.load(path)
+    return (np.asarray(npz["poly"], np.int64),
+            np.asarray(npz["vinit"], np.int64))
+
+
+MAX_SOBOL_DIM = 21201
 
 
 @functools.lru_cache(maxsize=None)
 def _direction_numbers(d):
     """(d, 32) uint32 array of direction numbers V_j (bit-reversed
-    fractions), computed once in numpy at trace time."""
-    if d - 1 > len(_JOE_KUO):
-        # beyond the hard-coded table: borrow scipy's (30-bit) direction
-        # numbers if available, left-aligned to our 32-bit convention
-        try:
-            from scipy.stats import qmc as _sq
+    fractions), computed once in numpy at trace time.
 
-            sv = np.asarray(_sq.Sobol(d, scramble=False)._sv, np.uint32)
-            return (sv.astype(np.uint64) << np.uint64(2)).astype(np.uint32)
-        except Exception as exc:  # pragma: no cover
-            raise NotImplementedError(
-                f"native Sobol table covers {len(_JOE_KUO) + 1} dimensions "
-                f"and scipy fallback failed: {exc}"
-            )
+    Vectorised over dimensions: the degree-s recurrence
+    ``v_j = v_{j-s} ^ (v_{j-s} >> s) ^ XOR_k a_k v_{j-k}`` runs as 32
+    column steps of (d,)-wide XORs, so even d ~ 2e4 expands in ms.
+    """
+    if d > MAX_SOBOL_DIM:
+        raise ValueError(
+            f"Sobol direction-number table covers {MAX_SOBOL_DIM} "
+            f"dimensions, got d={d}"
+        )
     V = np.zeros((d, _BITS), dtype=np.uint64)
     # dimension 1: van der Corput
-    for j in range(_BITS):
-        V[0, j] = 1 << (_BITS - 1 - j)
-    for dim in range(1, d):
-        s, a, m = _JOE_KUO[dim - 1]
-        m = list(m)
-        v = np.zeros(_BITS, dtype=np.uint64)
-        for j in range(s):
-            v[j] = np.uint64(m[j]) << np.uint64(_BITS - 1 - j)
-        for j in range(s, _BITS):
-            v[j] = v[j - s] ^ (v[j - s] >> np.uint64(s))
-            for k in range(1, s):
-                if (a >> (s - 1 - k)) & 1:
-                    v[j] ^= v[j - k]
-        V[dim] = v
+    V[0] = np.uint64(1) << (np.uint64(_BITS - 1) - np.arange(_BITS, dtype=np.uint64))
+    if d == 1:
+        return V.astype(np.uint32)
+    poly, vinit = _joe_kuo_table()
+    p = poly[1:d]  # full primitive polynomial, e.g. x^2+x+1 -> 0b111
+    s = np.array([int(x).bit_length() - 1 for x in p], np.int64)  # degree
+    m = vinit[1:d].astype(np.uint64)  # (d-1, 18) initial m-values
+    rows = np.arange(1, d)
+    smax = int(s.max())
+    cols = np.arange(_BITS)
+    # initial columns j < s: V_j = m_j << (BITS-1-j)
+    init = m[:, :_BITS] << np.uint64(_BITS - 1) - np.arange(
+        min(_BITS, m.shape[1]), dtype=np.uint64
+    )
+    V[1:, : init.shape[1]] = np.where(cols[: init.shape[1]] < s[:, None],
+                                      init, 0)
+    for j in range(1, _BITS):  # degree >= 1 always, so column 0 is initial
+        active = j >= s
+        base = V[rows, np.maximum(j - s, 0)]
+        val = base ^ (base >> s.astype(np.uint64))
+        for k in range(1, min(j, smax)):
+            # coefficient of x^{s-k} in the polynomial
+            coef = ((p >> np.maximum(s - k, 0)) & 1).astype(bool)
+            use = active & (k < s) & coef
+            val = np.where(use, val ^ V[rows, j - k], val)
+        V[rows, j] = np.where(active, val, V[rows, j])
     return V.astype(np.uint32)
 
 

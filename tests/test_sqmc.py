@@ -17,10 +17,37 @@ class TestRQMC:
     def test_sobol_matches_scipy(self):
         from scipy.stats import qmc as sq
 
-        for d in (1, 2, 5, 13, 21):
+        # past d=21 exercises the bundled Joe-Kuo table expansion
+        for d in (1, 2, 5, 13, 21, 22, 64, 1111):
             ours = np.asarray(rqmc.sobol_unscrambled(128, d))
             ref = sq.Sobol(d, scramble=False).random(128)
-            np.testing.assert_allclose(ours, ref, atol=1e-6)
+            np.testing.assert_allclose(ours, ref, atol=1e-7)
+
+    def test_sobol_no_scipy_needed(self):
+        """Native Sobol must not import scipy (the reference's rqmc.py:14
+        delegates to scipy; ours bundles the Joe-Kuo table)."""
+        import subprocess, sys
+
+        code = (
+            "import sys\n"
+            "sys.modules['scipy'] = None\n"  # any scipy import raises
+            "import os; os.environ['JAX_PLATFORMS']='cpu'\n"
+            "import jax; jax.config.update('jax_platforms','cpu')\n"
+            "from particles_tpu import rqmc\n"
+            "u = rqmc.sobol(jax.random.key(0), 64, 30)\n"
+            "assert u.shape == (64, 30) and float(u.min()) > 0.0\n"
+            "print('ok')\n"
+        )
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            env={**__import__('os').environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert out.returncode == 0, out.stderr
+        assert "ok" in out.stdout
+
+    def test_sobol_dim_cap(self):
+        with pytest.raises(ValueError, match="21201"):
+            rqmc._direction_numbers(30000)
 
     def test_scrambled_sobol_uniform(self):
         u = np.asarray(rqmc.sobol(jax.random.key(0), 4096, 3))
