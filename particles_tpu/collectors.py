@@ -279,13 +279,23 @@ class Paris(OnlineSmootherMixin, Collector):
         As, rejected, _, _ = jax.lax.while_loop(
             cond, trial, (As0, jnp.ones((N, P), bool), kloop, jnp.int32(0))
         )
-        # exact fallback: full backward weights + Gumbel draws
-        lw_mat = jax.vmap(lambda x_n: prev_lw + fk.logpt(t, prev_X, x_n))(
-            view.X
-        )  # (N, N)
-        g = jax.random.gumbel(kfall, (N, P, N))
-        exact = jnp.argmax(lw_mat[:, None, :] + g, axis=-1).astype(jnp.int32)
-        As = jnp.where(rejected, exact, As)
+        # exact fallback (full (N,N) backward weights + (N,P,N) Gumbel
+        # draws) — only computed when some trajectory is still rejected;
+        # lax.cond keeps the hybrid O(N) per step at high acceptance
+        # (reference collectors.py:390-449's point)
+        def _exact_fallback(k, A):
+            lw_mat = jax.vmap(
+                lambda x_n: prev_lw + fk.logpt(t, prev_X, x_n)
+            )(view.X)  # (N, N)
+            g = jax.random.gumbel(k, (N, P, N))
+            exact = jnp.argmax(
+                lw_mat[:, None, :] + g, axis=-1
+            ).astype(jnp.int32)
+            return jnp.where(rejected, exact, A)
+
+        As = jax.lax.cond(
+            jnp.any(rejected), _exact_fallback, lambda k, A: A, kfall, As
+        )
         vals = jnp.take(Phi, As, axis=0) + fk.add_func(
             t, jnp.take(prev_X, As, axis=0), view.X[:, None]
         )

@@ -323,12 +323,22 @@ class ParticleHistory:
             idx_t, rejected, nprops, _, _ = jax.lax.while_loop(
                 cond, trial, state
             )
-            # exact fallback for still-rejected trajectories (masked O(MN))
-            lwm = jax.vmap(
-                lambda x_one: lw_t + fk.logpt(t + 1, X_t, x_one)
-            )(xn)
-            exact = _gumbel_categorical(kfall, lwm)
-            idx_t = jnp.where(rejected, exact, idx_t)
+            # exact fallback for still-rejected trajectories, O(MN) — but
+            # only when something was actually rejected: lax.cond skips the
+            # matrix entirely on fully-accepted steps, so the hybrid's cost
+            # stays ~O(M+N) at high acceptance (the point of the hybrid
+            # variant, reference smoothing.py:352-423)
+            def _exact_fallback(k, idx):
+                lwm = jax.vmap(
+                    lambda x_one: lw_t + fk.logpt(t + 1, X_t, x_one)
+                )(xn)
+                exact = _gumbel_categorical(k, lwm)
+                return jnp.where(rejected, exact, idx)
+
+            idx_t = jax.lax.cond(
+                jnp.any(rejected), _exact_fallback,
+                lambda k, idx: idx, kfall, idx_t,
+            )
             acc = (M - jnp.sum(rejected)) / jnp.maximum(nprops, 1)
             return idx_t, (idx_t, acc)
 
