@@ -1,9 +1,16 @@
 """Headline benchmark: bootstrap particle filter throughput.
 
 Config (BASELINE.json north star): linear-Gaussian SSM, bootstrap filter,
-N = 1e6 particles, T = 1000 steps, systematic resampling with adaptive-ESS
-triggering.  Metric: particle-steps per second (N*T / wall-clock) on the
-available accelerator.
+N = 2^20 (~1.05e6) particles, T = 1000 steps, systematic resampling with
+adaptive-ESS triggering.  Metric: particle-steps per second (N*T /
+wall-clock) on the available accelerator.
+
+Also reports the per-step anatomy (BASELINE.md tracks resampling
+bandwidth, not just a CPU ratio): the cost of a non-resampling step, the
+marginal cost of a resampling step, the effective resampling bandwidth
+(8 bytes/particle: one f32 read + one f32 write is the fundamental
+traffic of the repeat move) and its fraction of the v5e HBM roofline
+(~819 GB/s).
 
 Baseline: the reference (nchopin/particles) cannot run in this image (numba
 is not installed), so the baseline is a faithful NumPy reimplementation of
@@ -13,17 +20,18 @@ kernel (same O(N)-class cost) — measured on this machine's CPU and cached in
 ``BASELINE_MEASURED.json``.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ..., ...anatomy}
 """
 
 import json
 import os
 import time
 
-N = 1_000_000
+N = 2 ** 20
 T = 1_000
 RHO, SIGX, SIGY = 0.9, 1.0, 0.2
 ESSRMIN = 0.5
+HBM_GBPS = 819.0  # v5e HBM bandwidth roofline
 
 
 def measure_cpu_baseline(n=N, t_steps=50):
@@ -76,59 +84,81 @@ def get_cpu_baseline():
     return val
 
 
-def measure_device():
+def _build(T_steps):
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from particles_tpu import core, kalman
+    from particles_tpu import kalman
     from particles_tpu import state_space_models as ssms
 
     ssm = kalman.LinearGauss(rho=RHO, sigmaX=SIGX, sigmaY=SIGY)
-    # simulate data cheaply on host
+    rng = np.random.default_rng(1)
+    xs = np.empty(T_steps)
+    xs[0] = rng.normal() * float(SIGX / np.sqrt(1 - RHO**2))
+    for t in range(1, T_steps):
+        xs[t] = RHO * xs[t - 1] + SIGX * rng.normal()
+    y = jnp.asarray(xs + SIGY * rng.normal(size=T_steps), jnp.float32)
+    return ssms.Bootstrap(ssm=ssm, data=y)
+
+
+def _timed_run(fk, T_steps, essrmin, reps=2):
+    """Best-of wall time for one full compiled filter run; forces the value
+    to host (the axon tunnel's block_until_ready can return early)."""
+    import jax
     import numpy as np
 
-    rng = np.random.default_rng(1)
-    xs = np.empty(T)
-    xs[0] = rng.normal() * float(SIGX / np.sqrt(1 - RHO**2))
-    for t in range(1, T):
-        xs[t] = RHO * xs[t - 1] + SIGX * rng.normal()
-    y = jnp.asarray(xs + SIGY * rng.normal(size=T), jnp.float32)
-
-    fk = ssms.Bootstrap(ssm=ssm, data=y)
+    from particles_tpu import core
 
     @jax.jit
     def run(fk, key):
         carry, _, _ = core._run_full(
-            fk, key, N, T, False, "systematic", ESSRMIN, None, False
+            fk, key, N, T_steps, False, "systematic", essrmin, None, False
         )
         return carry.logLt
 
-    # compile + warmup; force the value to host (the axon tunnel's
-    # block_until_ready can return before execution completes)
-    logLt = float(run(fk, jax.random.key(0)))
-    # timed (best of 2)
+    logLt = float(run(fk, jax.random.key(0)))  # compile + warmup
+    assert np.isfinite(logLt)
     elapsed = float("inf")
-    for r in (1, 2):
+    for r in range(1, reps + 1):
         start = time.perf_counter()
         logLt = float(run(fk, jax.random.key(r)))
         elapsed = min(elapsed, time.perf_counter() - start)
     assert np.isfinite(logLt)
-    return N * T / elapsed, elapsed
+    return elapsed
+
+
+def measure_device():
+    fk = _build(T)
+    elapsed = _timed_run(fk, T, ESSRMIN)
+    # per-step anatomy on a short horizon (compile cost stays modest)
+    fk200 = _build(200)
+    base_ms = _timed_run(fk200, 200, 0.0) / 200 * 1e3     # never resample
+    full_ms = _timed_run(fk200, 200, 1.1) / 200 * 1e3     # always resample
+    resample_ms = max(full_ms - base_ms, 1e-9)
+    # fundamental repeat traffic: read x + write y, 4B each per particle
+    rs_gbps = (8.0 * N) / (resample_ms * 1e-3) / 1e9
+    return {
+        "elapsed_s": round(elapsed, 3),
+        "step_ms_base": round(base_ms, 3),
+        "step_ms_resample": round(full_ms, 3),
+        "resampling_gbps": round(rs_gbps, 1),
+        "resampling_pct_hbm_roofline": round(100.0 * rs_gbps / HBM_GBPS, 2),
+    }
 
 
 def main():
     baseline = get_cpu_baseline()
-    value, elapsed = measure_device()
-    print(
-        json.dumps(
-            {
-                "metric": "bootstrap_pf_particle_steps_per_sec_N1e6_T1e3",
-                "value": round(value, 1),
-                "unit": "particle-steps/s",
-                "vs_baseline": round(value / baseline, 2),
-            }
-        )
-    )
+    anatomy = measure_device()
+    value = N * T / anatomy["elapsed_s"]
+    out = {
+        "metric": "bootstrap_pf_particle_steps_per_sec_N2e20_T1e3",
+        "value": round(value, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(value / baseline, 2),
+    }
+    out.update(anatomy)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

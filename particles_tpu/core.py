@@ -240,11 +240,12 @@ def _step0(fk, key, N, qmc, summaries, ESSrmin, constrain=None):
 def _repeat(X, counts, M, use_pallas=True):
     """Resampling move for sorted-ancestor schemes: X[A] = repeat-by-counts.
 
-    1-D and small (N, d<=3) leaves route through the Pallas streaming-merge
-    kernel on TPU (~4x faster than the XLA gather at N=1e6 for d=1, ~1.8x
-    for d=2; see particles_tpu.ops); other leaves use `jnp.repeat`.
-    ``use_pallas=False`` forces the XLA path (needed under multichip
-    sharding: GSPMD cannot partition a pallas_call).
+    1-D and small (N, d<=3) leaves route through the Pallas visit-list
+    kernel on TPU (see particles_tpu.ops/repeat_kernel.py); other leaves
+    use `jnp.repeat`.  ``use_pallas=False`` forces the XLA path (needed
+    under multichip sharding: GSPMD cannot partition a pallas_call).
+    Prefer :func:`_repeat_z` inside the engine — it shares the plan across
+    leaves and skips the counts cumsum.
     """
     from particles_tpu.ops import repeat_by_counts
 
@@ -256,8 +257,28 @@ def _repeat(X, counts, M, use_pallas=True):
     )
 
 
+def _repeat_z(X, z, M, use_pallas=True):
+    """z-form resampling move with one shared plan for every leaf.
+
+    ``z`` is the inclusive cumsum of offspring counts (a scheme's
+    ``resampling_z`` output): the visit plan and the transposed z are
+    computed once and reused by all state leaves, the APF aux weights and
+    the ancestor iota (which XLA dead-code-eliminates when unused).
+    """
+    from particles_tpu import ops
+
+    plan = ops.make_repeat_plan(z, M) if use_pallas else None
+    if plan is None:
+        counts = jnp.diff(z, prepend=jnp.zeros(1, jnp.int32))
+        rep = lambda leaf: jnp.repeat(leaf, counts, axis=0,
+                                      total_repeat_length=M)
+    else:
+        rep = lambda leaf: ops.repeat_with_plan(plan, leaf)
+    return jax.tree_util.tree_map(rep, X), rep
+
+
 def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
-          constrain=None):
+          constrain=None, need_gen=True):
     """One SMC step for (possibly traced) t >= 1 (reference core.py:369-383).
 
     The resample-or-not decision (reference core.py:326-337) is a
@@ -290,16 +311,19 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
 
     def do_resample(X, lw):
         if use_counts:
-            counts = rs.resampling_counts(resampling_scheme, k_rs, aux.W, M=N)
-            A = rs.counts_to_ancestors(counts, N)
-            Xp = _repeat(X, counts, N, use_pallas=constrain is None)
+            # z-form fast path: z is analytic in cumsum(W) for systematic;
+            # one plan shared by state leaves, ancestors and APF weights.
+            # use_pallas=False under sharding (GSPMD cannot partition a
+            # pallas_call).
+            z = rs.resampling_z(resampling_scheme, k_rs, aux.W, M=N)
+            Xp, rep = _repeat_z(X, z, N, use_pallas=constrain is None)
+            # ancestors only when the genealogy is consumed: XLA does NOT
+            # dead-code-eliminate pallas custom-calls, so an unconditional
+            # rep(arange) would cost a full kernel launch per step
+            A = (rep(jnp.arange(N, dtype=jnp.int32)) if need_gen
+                 else jnp.arange(N, dtype=jnp.int32))
             if fk.isAPF:
-                # same pallas gate as the particle move: GSPMD cannot
-                # partition pallas_call, so sharded runs (constrain set)
-                # must take the XLA repeat here too
-                reset_lw = rs.log_mean_exp(logetat, W=wgts.W) - _repeat(
-                    logetat, counts, N, use_pallas=constrain is None
-                )
+                reset_lw = rs.log_mean_exp(logetat, W=wgts.W) - rep(logetat)
             else:
                 reset_lw = jnp.zeros(N, dtype=lw.dtype)
         else:
@@ -393,14 +417,12 @@ def _step_qmc(fk, carry, t, N, ESSrmin, summaries, constrain=None,
     z = rs._merge_rank_counts(su, cs, N)
     z = z.at[-1].set(N)
     z = jax.lax.associative_scan(jnp.maximum, z)
-    counts = jnp.diff(z, prepend=jnp.zeros(1, jnp.int32))
+    Xp, rep = _repeat_z(X, z, N, use_pallas=use_pallas)
     # ancestor indices are only materialised when something consumes the
     # genealogy (history, genealogy-reading collectors); need_gen is static
-    A_h = rs.counts_to_ancestors(counts, N) if need_gen else None
-    Xp = _repeat(X, counts, N, use_pallas=use_pallas)
+    A_h = rep(jnp.arange(N, dtype=jnp.int32)) if need_gen else None
     if fk.isAPF:
-        logeta_anc = _repeat(logetat, counts, N, use_pallas=use_pallas)
-        lw_reset = rs.log_mean_exp(logetat, W=wgts.W) - logeta_anc
+        lw_reset = rs.log_mean_exp(logetat, W=wgts.W) - rep(logetat)
     else:
         lw_reset = jnp.zeros(N, dtype=lw.dtype)
 
@@ -507,7 +529,7 @@ def _run_full(fk, key, N, T, qmc, resampling_scheme, ESSrmin, summaries,
         else:
             carry, view, outs = _step(
                 fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
-                constrain
+                constrain, need_gen=need_gen,
             )
         frame = frame_of(view, None)
         if windowed:

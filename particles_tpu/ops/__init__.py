@@ -1,6 +1,14 @@
-"""Pallas TPU kernels for the hot particle operations (SURVEY.md §2a)."""
+"""Pallas TPU kernels for the hot particle operations (SURVEY.md §2a).
+
+The measured-slower experimental repeat kernels (v2 row-granular grid,
+v3 dynamic boundary-row fori) were removed in round 2; their post-mortems
+live in CLAUDE.md ("Mosaic wants statically scheduled dense tiles").
+"""
 
 from particles_tpu.ops.merge_rank_kernel import merge_rank_counts  # noqa: F401
-from particles_tpu.ops.repeat_kernel import repeat_by_counts  # noqa: F401
-from particles_tpu.ops.repeat_kernel_v2 import repeat_by_counts_v2  # noqa: F401
-from particles_tpu.ops.repeat_kernel_v3 import repeat_by_counts_v3  # noqa: F401
+from particles_tpu.ops.repeat_kernel import (  # noqa: F401
+    make_repeat_plan,
+    repeat_by_counts,
+    repeat_by_z,
+    repeat_with_plan,
+)

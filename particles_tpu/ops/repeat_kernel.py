@@ -8,136 +8,194 @@ reference's sequential numba two-pointer ``inverse_cdf`` kernel
 
 XLA's general gather/scatter run at ~60M elem/s on TPU (measured on v5e),
 making ``jnp.repeat`` the dominant cost of a resampling step at N=1e6
-(~16 ms/step).  This kernel performs a *block-aligned two-pointer merge*:
+(~16 ms/step).  This module implements a **static visit-list kernel**
+(v6; supersedes the round-1 dynamic-fori design):
 
-* the output is produced in C=1024-sized chunks, one grid step each;
-* a cheap XLA-side ``searchsorted`` over the chunk boundaries (N/C queries)
-  gives, per chunk, the first source block it needs and the previous
-  block's last ``z`` — passed via scalar prefetch, so the kernel loops over
-  a *bounded, known* number of source blocks (no data-dependent while);
-* each (chunk, block) pair is expanded with 128x128 comparison tiles in
-  two passes (count pass: ``cnt[j] = #{k in block: z_k <= j}``; select
-  pass: output j takes in-block source ``cnt[j]`` unless already served by
-  an earlier block, ``j < prev_last``) — all shapes native (8,128)-tiled,
-  data transposed once per block.
+* the work is a list of (output chunk, source block) *visits*, bounded by
+  ``2 * nchunks`` because both pointers of the merge only move forward —
+  so the grid is static and Mosaic double-buffers every DMA (the round-1
+  kernel's data-dependent ``fori_loop`` around manual DMAs stalled on DMA
+  latency every iteration);
+* all prep runs on (nchunks,)-sized arrays: the serving source block of
+  an output boundary is found by searchsorted over per-block end offsets
+  (z[C-1::C]), never over the full N; prep is shared across payload
+  columns/leaves via :func:`make_repeat_plan`;
+* sources are pre-transposed by XLA ((nblocks, R, 128) -> (nblocks, 128,
+  R)) so the kernel never pays Mosaic's expensive sublane<->lane
+  transpose (measured ~1 us per (8,128) block);
+* inside a visit, output j's source k* always lies in the first source
+  row whose last z exceeds j, so the select is two-level: row count on
+  (1,128) vectors, one masked row materialisation, one 128x128 one-hot —
+  statically scheduled dense tiles (the v2/v3 sparsity post-mortems in
+  CLAUDE.md rule out dynamic-loop sparsity on Mosaic).
 
-Both pointers only move forward, so total work is O(N*(C_out + C_src))
-VPU compares + two linear HBM streams.  Honest timing (forcing the value
-to host; the axon tunnel's block_until_ready is unreliable) at N=2^20 on
-v5e: ~3.9 ms vs ~16 ms for ``jnp.repeat`` (~4x), matching the VPU
-roofline of the N*C compare volume.  Next optimisation (round 2): per-row
-source windows (C_src=128 against each 128-output row, staged through the
-1024-wide DMA block) cuts the compare volume ~4x again.  Inputs of any
-1-D length are zero-padded to a block multiple; only the (N,) float32 /
-int32 case is routed here (other shapes fall back to ``jnp.repeat``,
-amortised over the d state columns).
+Measured on v5e at N=2^20 (jitted 50-step chain, value-forced; the axon
+tunnel's block_until_ready is unreliable): pallas_call alone ~0.6 ms —
+~7x less than the round-1 kernel's 4.1 ms — with the remaining end-to-end
+cost in XLA glue (z cumsum ~0.7 ms, transposes ~0.4 ms each), vs ~16 ms
+for ``jnp.repeat``.
+
+Gating inside the kernel: a j served by an earlier block fails
+``j >= prev_last``; one served by a later block sees all rows below so
+the z-row select leaves INT32_MAX and the one-hot never fires (the
+contribution is the 0.0 default).  Inputs of any 1-D length are
+zero-padded to a block multiple; float32/int32 (N,) and (N, d<=3) cases
+route here (other shapes fall back to ``jnp.repeat``).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["repeat_by_counts"]
+__all__ = ["repeat_by_counts", "repeat_by_z", "make_repeat_plan",
+           "repeat_with_plan"]
 
-_C = 1024   # chunk/block size (outputs per grid step, sources per DMA)
+_C = 1024   # outputs per chunk == sources per block
 _R = _C // 128
 
 
-def _repeat_kernel(wref, plref, z_hbm, x_hbm, y_ref, zbuf, xbuf, sems):
-    """One output chunk per grid step (see module docstring)."""
-    C, R = _C, _R
-    t = pl.program_id(0)
-    j0 = t * C
-    w0 = wref[t]
-    nblk = wref[t + 1] - w0 + 1
+def _repeat_kernel(tref, wref, pref, fref, zT_ref, xT_ref, y_ref):
+    """One (output chunk, source block) visit per grid step."""
+    R = _R
+    v = pl.program_id(0)
+    j0 = tref[v] * _C
+    plast = pref[v]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     sub = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
-    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    INT_MAX = jnp.int32(2**31 - 1)
+    zt = zT_ref[:]   # (128, R): source k = sr*128 + sublane
+    xt = xT_ref[:]
+    rows = []
+    for og in range(R):
+        jrow = j0 + og * 128 + lane
+        valid = jrow >= plast
+        # level 1: source rows fully below j ((1,128) compares, negligible)
+        rb = jnp.zeros((1, 128), jnp.int32)
+        for sr in range(R):
+            rb = rb + (zt[127, sr] <= jrow).astype(jnp.int32)
+        # materialise the boundary row (z and x) per output lane
+        zrow = jnp.full((128, 128), INT_MAX)
+        xrow = jnp.zeros((128, 128), jnp.float32)
+        for sr in range(R):
+            m = rb == sr  # (1,128) mask, broadcast down sublanes
+            zrow = jnp.where(m, zt[:, sr:sr + 1], zrow)
+            xrow = jnp.where(m, xt[:, sr:sr + 1], xrow)
+        # level 2: in-row rank + one-hot value select
+        c = jnp.sum((zrow <= jrow).astype(jnp.int32), axis=0, keepdims=True)
+        onehot = (sub == c) & valid
+        rows.append(jnp.sum(jnp.where(onehot, xrow, 0.0), axis=0,
+                            keepdims=True))
+    contrib = jnp.concatenate(rows, axis=0)
 
-    def body(b, carry):
-        acc, prev_last = carry
-        w = w0 + b
-        cp1 = pltpu.make_async_copy(
-            z_hbm.at[pl.ds(w * R, R), :], zbuf, sems.at[0]
-        )
-        cp2 = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(w * R, R), :], xbuf, sems.at[1]
-        )
-        cp1.start()
-        cp2.start()
-        cp1.wait()
-        cp2.wait()
-        zt = zbuf[:].T  # (128, R): source k = sr*128 + sublane
-        xt = xbuf[:].T
-        # pass 1: local source rank per output group
-        cnts = []
-        for og in range(R):
-            jrow = j0 + og * 128 + lane_row
-            cnt = jnp.zeros((1, 128), jnp.int32)
-            for sr in range(R):
-                zc = zt[:, sr : sr + 1]
-                cnt = cnt + jnp.sum(
-                    (zc <= jrow).astype(jnp.int32), axis=0, keepdims=True
-                )
-            cnts.append(cnt)
-        # pass 2: one-hot select
-        rows = []
-        for og in range(R):
-            jrow = j0 + og * 128 + lane_row
-            valid = jrow >= prev_last
-            r = jnp.zeros((1, 128), jnp.float32)
-            for sr in range(R):
-                zc = zt[:, sr : sr + 1]
-                xc = xt[:, sr : sr + 1]
-                kcol = sr * 128 + sub
-                m = (kcol == cnts[og]) & valid
-                r = r + jnp.sum(jnp.where(m, xc, 0.0), axis=0, keepdims=True)
-            rows.append(r)
-        acc = acc + jnp.concatenate(rows, axis=0)
-        return acc, zbuf[R - 1, 127]
+    @pl.when(fref[v] == 1)
+    def _():
+        y_ref[:] = contrib
 
-    acc0 = jnp.zeros((R, 128), jnp.float32)
-    acc, _ = jax.lax.fori_loop(0, nblk, body, (acc0, plref[t]))
-    y_ref[:] = acc
+    @pl.when(fref[v] == 0)
+    def _():
+        y_ref[:] = y_ref[:] + contrib
 
 
-@functools.partial(jax.jit, static_argnames=("M",))
-def _repeat_pallas(x, z, M):
-    """x (M,) float32, z (M,) int32 nondecreasing with z[-1] == M."""
+class RepeatPlan(NamedTuple):
+    """Precomputed visit list + transposed z for one resampling step.
+
+    Build once per step with :func:`make_repeat_plan`, then apply to any
+    number of payloads (state columns, log-weights, ancestor iota) with
+    :func:`repeat_with_plan` — the prep and the z transpose are shared.
+    """
+
+    tch: jnp.ndarray    # (NV,) output chunk of each visit
+    wblk: jnp.ndarray   # (NV,) source block of each visit
+    plast: jnp.ndarray  # (NV,) z before the visited block (gate + offset)
+    first: jnp.ndarray  # (NV,) 1 on the first visit of each chunk
+    zT: jnp.ndarray     # (Mp//128 * 128? , R) transposed padded z
+    z: jnp.ndarray      # (N,) original (unpadded) z, for fallbacks
+    M: int              # logical output length
+    Mp: int             # padded length (multiple of _C)
+
+
+def make_repeat_plan(z, M):
+    """Visit-list plan for ``Y[j] = X[#{k: z_k <= j}]`` (see RepeatPlan).
+
+    ``z`` is the inclusive cumsum of offspring counts ((N,) int32,
+    nondecreasing, z[-1] == M == N required for the kernel route).
+    Returns None when the kernel route is unavailable (non-TPU backend or
+    M != N); callers then fall back to ``jnp.repeat``.
+    """
+    N = z.shape[0]
+    if not (_on_tpu() and M == N and N >= _C):
+        return None
+    pad = (-N) % _C
+    if pad:
+        # padded sources absorb the padded output slots [N, N+pad)
+        zp = jnp.concatenate([z, jnp.full(pad, N + pad, jnp.int32)])
+    else:
+        zp = z
+    Mp = N + pad
     C, R = _C, _R
-    nchunks = M // C
-    boundaries = jnp.arange(nchunks + 1, dtype=jnp.int32) * C
-    first_src = jnp.searchsorted(z, boundaries, side="right").astype(jnp.int32)
-    wstart = jnp.minimum(first_src // C, nchunks - 1)
-    prev_idx = wstart * C - 1
-    prevlast = jnp.where(
-        prev_idx >= 0, jnp.take(z, jnp.clip(prev_idx, 0, None)), 0
-    ).astype(jnp.int32)
+    nchunks = Mp // C
+    nblocks = nchunks
+    NV = 2 * nchunks
+    zbl = zp[C - 1::C]                                  # z at block ends
+    boundaries = jnp.arange(nchunks, dtype=jnp.int32) * C
+    # serving block of output j = #{w: zbl[w] <= j}
+    w_start = jnp.clip(
+        jnp.searchsorted(zbl, boundaries, side="right").astype(jnp.int32),
+        0, nblocks - 1)
+    w_end = jnp.maximum(jnp.clip(
+        jnp.searchsorted(zbl, boundaries + (C - 1),
+                         side="right").astype(jnp.int32),
+        0, nblocks - 1), w_start)
+    s = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                         jnp.cumsum(w_end - w_start + 1)])
+    v = jnp.arange(NV, dtype=jnp.int32)
+    tch = jnp.clip(
+        jnp.searchsorted(s, v, side="right").astype(jnp.int32) - 1,
+        0, nchunks - 1)
+    active = v < s[-1]
+    wblk = jnp.clip(jnp.take(w_start, tch) + (v - jnp.take(s, tch)),
+                    0, nblocks - 1)
+    tch = jnp.where(active, tch, nchunks - 1)
+    wblk = jnp.where(active, wblk, nblocks - 1)
+    plast = jnp.where(wblk >= 1, jnp.take(zbl, jnp.clip(wblk - 1, 0, None)),
+                      0)
+    plast = jnp.where(active, plast, jnp.int32(Mp))  # inactive: no writes
+    first = jnp.concatenate([
+        jnp.ones(1, jnp.int32), (tch[1:] != tch[:-1]).astype(jnp.int32)])
+    zT = zp.reshape(nblocks, R, 128).swapaxes(1, 2).reshape(nblocks * 128, R)
+    return RepeatPlan(tch, wblk, plast, first, zT, z, M, Mp)
 
+
+@functools.partial(jax.jit, static_argnames=("Mp",))
+def _repeat_pallas(plan_tch, plan_wblk, plan_plast, plan_first, zT, xf, Mp):
+    """xf (Mp,) float32 -> (Mp,) float32."""
+    R = _R
+    nblocks = Mp // _C
+    NV = plan_tch.shape[0]
+    xT = xf.reshape(nblocks, R, 128).swapaxes(1, 2).reshape(nblocks * 128, R)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nchunks,),
+        num_scalar_prefetch=4,
+        grid=(NV,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((128, R), lambda v, t, w, p, f: (w[v], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, R), lambda v, t, w, p, f: (w[v], 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((R, 128), lambda t, *_: (t, 0),
+        out_specs=pl.BlockSpec((R, 128), lambda v, t, w, p, f: (t[v], 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((R, 128), jnp.int32),
-            pltpu.VMEM((R, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
     )
     out = pl.pallas_call(
         _repeat_kernel,
-        out_shape=jax.ShapeDtypeStruct((nchunks * R, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Mp // 128, 128), jnp.float32),
         grid_spec=grid_spec,
-    )(wstart, prevlast, z.reshape(-1, 128), x.reshape(-1, 128))
+    )(plan_tch, plan_wblk, plan_plast, plan_first, zT, xT)
     return out.reshape(-1)
 
 
@@ -147,52 +205,71 @@ def _on_tpu():
 
 # Max trailing dim routed column-wise through the kernel.  Measured on v5e
 # at N=2^20 (jitted resample+move chain, value-forced): per-column kernel
-# vs row-gather jnp.repeat = 9.0 vs 16.1 ms (d=2), 12.5 vs 16.1 (d=3),
-# 15.7 vs 16.1 (d=4, a wash) -> route d <= 3.
+# vs row-gather jnp.repeat favours the kernel for d <= 3 (the plan and the
+# z transpose are shared across columns, so v6 improves on the round-1
+# d<=3 numbers: 9.0/12.5 ms at d=2/3 vs 16.1 for jnp.repeat).
 _MAX_COLS = 3
 
 
-def _repeat_1d(xf, z, N):
-    pad = (-N) % _C
-    if pad:
-        # padded sources get zero offspring for outputs < N; one dummy source
-        # absorbs the padded output slots
-        xf = jnp.concatenate([xf, jnp.zeros(pad, jnp.float32)])
-        zp = jnp.concatenate([z, jnp.full(pad, N + pad, jnp.int32)])
-        return _repeat_pallas(xf, zp, N + pad)[:N]
-    return _repeat_pallas(xf, z, N)
+def _leaf_routable(x, N):
+    is_int = jnp.issubdtype(x.dtype, jnp.integer)
+    return (
+        x.ndim in (1, 2)
+        and (x.ndim == 1 or x.shape[1] <= _MAX_COLS)
+        and x.shape[0] == N
+        and not (is_int and N >= 2**24)  # float32 routing only exact < 2^24
+        and x.dtype != jnp.float64       # never silently truncate x64
+    )
+
+
+def repeat_with_plan(plan, x):
+    """Apply a :class:`RepeatPlan` to one payload array.
+
+    Routes (N,) and (N, d<=3) float32/int32 payloads through the Pallas
+    kernel (columns share the plan); anything else falls back to
+    ``jnp.repeat`` with counts recovered from ``plan.z``.
+    """
+    N = plan.z.shape[0]
+    if not _leaf_routable(x, N):
+        counts = jnp.diff(plan.z, prepend=jnp.zeros(1, jnp.int32))
+        return jnp.repeat(x, counts, axis=0, total_repeat_length=plan.M)
+    pad = plan.Mp - N
+
+    def one_col(col):
+        xf = col.astype(jnp.float32)
+        if pad:
+            xf = jnp.concatenate([xf, jnp.zeros(pad, jnp.float32)])
+        out = _repeat_pallas(plan.tch, plan.wblk, plan.plast, plan.first,
+                             plan.zT, xf, plan.Mp)
+        return out[:N] if pad else out
+
+    if x.ndim == 1:
+        out = one_col(x)
+    else:
+        out = jnp.stack([one_col(x[:, j]) for j in range(x.shape[1])],
+                        axis=1)
+    return out.astype(x.dtype)
+
+
+def repeat_by_z(x, z, M):
+    """``Y[j] = X[#{k: z_k <= j}]`` for inclusive count-cumsum ``z``."""
+    plan = make_repeat_plan(z, M)
+    if plan is None:
+        counts = jnp.diff(z, prepend=jnp.zeros(1, jnp.int32))
+        return jnp.repeat(x, counts, axis=0, total_repeat_length=M)
+    return repeat_with_plan(plan, x)
 
 
 def repeat_by_counts(x, counts, M):
     """``jnp.repeat(x, counts, axis=0, total_repeat_length=M)``, TPU-fast.
 
-    Routes 1-D float32/int32 inputs with M == N through the Pallas
-    streaming-merge kernel on TPU (padding to the block size), and (N, d)
-    inputs with d <= 3 column-by-column (the kernel beats the XLA row
-    gather up to d = 3; see ``_MAX_COLS``).  All other cases fall back to
-    ``jnp.repeat``.
+    Prefer :func:`make_repeat_plan` + :func:`repeat_with_plan` (or a
+    scheme's z-formulation via ``resampling.resampling_z``) when repeating
+    several payloads with the same counts — this convenience wrapper pays
+    the counts->z cumsum and the plan on every call.
     """
     N = x.shape[0]
-    is_int = jnp.issubdtype(x.dtype, jnp.integer)
-    is_f64 = x.dtype == jnp.float64
-    routable = (
-        x.ndim in (1, 2)
-        and (x.ndim == 1 or x.shape[1] <= _MAX_COLS)
-        and M == N
-        and N >= _C
-        and _on_tpu()
-        and not (is_int and N >= 2**24)  # float32 routing only exact < 2^24
-        and not is_f64  # kernel is float32; never silently truncate x64
-    )
-    if not routable:
+    if not (_on_tpu() and M == N and N >= _C and _leaf_routable(x, N)):
         return jnp.repeat(x, counts, axis=0, total_repeat_length=M)
     z = jnp.cumsum(counts.astype(jnp.int32))
-    if x.ndim == 1:
-        out = _repeat_1d(x.astype(jnp.float32), z, N)
-    else:
-        out = jnp.stack(
-            [_repeat_1d(x[:, j].astype(jnp.float32), z, N)
-             for j in range(x.shape[1])],
-            axis=1,
-        )
-    return out.astype(x.dtype)
+    return repeat_by_z(x, z, M)

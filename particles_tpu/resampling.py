@@ -442,25 +442,58 @@ def counts_to_ancestors(counts, M):
     return repeat_by_counts(jnp.arange(N, dtype=jnp.int32), counts, M)
 
 
+rs_z_funcs = {}
+
+
+def resampling_z_scheme(func):
+    """Register the z-form (inclusive cumsum of offspring counts) of a
+    resampling scheme."""
+    rs_z_funcs[func.__name__.replace("_z", "")] = func
+    return func
+
+
+def resampling_z(scheme, key, W, M=None):
+    """z-form of a sorted-ancestor scheme: (N,) int32 nondecreasing with
+    z[-1] == M; z = cumsum(counts), and the resampling move is
+    ``Y[j] = X[#{k: z_k <= j}]`` (the Pallas repeat kernel's native input).
+
+    For systematic resampling z is *analytic* in cumsum(W) — no counts
+    materialisation, no second cumsum, no search over N (this is the
+    engine's fast path; see ops/repeat_kernel.py).
+    """
+    M = W.shape[0] if M is None else M
+    if scheme in rs_z_funcs:
+        return rs_z_funcs[scheme](key, W, M)
+    counts = resampling_counts(scheme, key, W, M)
+    return jnp.cumsum(counts.astype(jnp.int32))
+
+
 def _normalised_cumsum(W):
     cs = jnp.cumsum(W)
     return cs / cs[-1]
 
 
-@resampling_counts_scheme
-def systematic_counts(key, W, M):
-    """Systematic offspring counts: z_i = #{j: (j+u)/M <= cs_i}
-    = floor(M*cs_i - u) + 1, counts = diff(z).  Pure arithmetic — no search,
-    no gather."""
+@resampling_z_scheme
+def systematic_z(key, W, M):
+    """Systematic z-form: z_i = #{j: (j+u)/M <= cs_i} = floor(M*cs_i - u)
+    + 1.  Pure arithmetic in cumsum(W) — no search, no gather, and no
+    separate counts cumsum (z IS the cumsum the repeat kernel consumes)."""
     u = jax.random.uniform(key, ())
     cs = _normalised_cumsum(W)
     z = jnp.clip(jnp.floor(M * cs - u).astype(jnp.int32) + 1, 0, M)
-    return jnp.diff(z, prepend=jnp.zeros(1, jnp.int32))
+    return z.at[-1].set(M)  # guard rounding at the top
 
 
 @resampling_counts_scheme
-def stratified_counts(key, W, M):
-    """Stratified offspring counts: z_i = #{j: (j+u_j)/M <= cs_i}
+def systematic_counts(key, W, M):
+    """Systematic offspring counts = diff of the analytic z-form."""
+    return jnp.diff(systematic_z(key, W, M),
+                    prepend=jnp.zeros(1, jnp.int32))
+
+
+@resampling_z_scheme
+def stratified_z(key, W, M):
+    """Stratified z-form: z_i = #{j: (j+u_j)/M <= cs_i}
     = k_i + 1[u_{k_i} <= frac_i], k_i = floor(M*cs_i).  The u-gather uses
     sorted indices (cheap on TPU)."""
     u = jax.random.uniform(key, (M,))
@@ -472,8 +505,14 @@ def stratified_counts(key, W, M):
     z = jnp.where(k >= M, M, k + (uk <= frac).astype(jnp.int32))
     z = jnp.clip(z, 0, M)
     z = z.at[-1].set(M)  # guard rounding at the top
-    z = jax.lax.associative_scan(jnp.maximum, z)  # enforce monotone
-    return jnp.diff(z, prepend=jnp.zeros(1, jnp.int32))
+    return jax.lax.associative_scan(jnp.maximum, z)  # enforce monotone
+
+
+@resampling_counts_scheme
+def stratified_counts(key, W, M):
+    """Stratified offspring counts = diff of the z-form."""
+    return jnp.diff(stratified_z(key, W, M),
+                    prepend=jnp.zeros(1, jnp.int32))
 
 
 def _merge_rank_counts(su, cs, M):
@@ -510,16 +549,23 @@ def _merge_rank_counts(su, cs, M):
     return jnp.clip(z[:N], 0, M)
 
 
-@resampling_counts_scheme
-def multinomial_counts(key, W, M):
-    """Multinomial offspring counts ~ Multinomial(M, W): sorted uniforms
-    (O(M) spacings construction) merged against cumsum(W) by one sort."""
+@resampling_z_scheme
+def multinomial_z(key, W, M):
+    """Multinomial z-form ~ Multinomial(M, W): sorted uniforms (O(M)
+    spacings construction) merged against cumsum(W) by the streaming
+    merge-rank kernel (one sort on CPU fallback)."""
     su = uniform_spacings(key, M)
     cs = _normalised_cumsum(W)
     z = _merge_rank_counts(su, cs, M)
     z = z.at[-1].set(M)
-    z = jax.lax.associative_scan(jnp.maximum, z)
-    return jnp.diff(z, prepend=jnp.zeros(1, jnp.int32))
+    return jax.lax.associative_scan(jnp.maximum, z)
+
+
+@resampling_counts_scheme
+def multinomial_counts(key, W, M):
+    """Multinomial offspring counts = diff of the z-form."""
+    return jnp.diff(multinomial_z(key, W, M),
+                    prepend=jnp.zeros(1, jnp.int32))
 
 
 @resampling_counts_scheme

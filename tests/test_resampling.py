@@ -369,11 +369,13 @@ class TestRepeatKernels:
             got == jnp.repeat(x, counts, axis=0, total_repeat_length=256)))
 
     @pytest.mark.parametrize("N", [2048, 8192])
-    def test_v2_matches_jnp_repeat(self, N):
-        """The experimental row-granular kernel agrees with jnp.repeat
-        (runs in interpret mode on CPU)."""
+    def test_plan_api_and_z_forms(self, N):
+        """make_repeat_plan/repeat_with_plan share one plan across payloads
+        and match jnp.repeat; scheme z-forms are consistent with counts
+        (interpret mode on CPU)."""
         from jax.experimental import pallas as pl
-        import particles_tpu.ops.repeat_kernel_v2 as rk2
+        import particles_tpu.ops.repeat_kernel as rk
+        from particles_tpu import resampling as rs
 
         orig = pl.pallas_call
 
@@ -381,60 +383,40 @@ class TestRepeatKernels:
             kw["interpret"] = True
             return orig(*a, **kw)
 
-        rk2.pl.pallas_call = patched
+        rk.pl.pallas_call = patched
+        orig_on_tpu = rk._on_tpu
+        rk._on_tpu = lambda: True
         try:
             rng = np.random.default_rng(N)
-            W = rng.dirichlet(np.ones(N) * 0.2).astype(np.float32)
+            W = jnp.asarray(rng.dirichlet(np.ones(N) * 0.2), jnp.float32)
+            key = jax.random.key(3)
+            for scheme in ("systematic", "stratified", "multinomial"):
+                z = rs.resampling_z(scheme, key, W, M=N)
+                counts = rs.resampling_counts(scheme, key, W, M=N)
+                # z-form is exactly cumsum(counts)
+                assert bool(jnp.all(z == jnp.cumsum(counts)))
+            z = rs.resampling_z("systematic", key, W, M=N)
+            counts = jnp.diff(z, prepend=jnp.zeros(1, jnp.int32))
+            plan = rk.make_repeat_plan(z, N)
+            assert plan is not None
             x = jnp.asarray(rng.normal(size=N), jnp.float32)
-            cs = np.cumsum(W)
-            cs /= cs[-1]
-            z = np.clip(np.floor(N * cs - 0.37).astype(np.int32) + 1, 0, N)
-            z[-1] = N
-            counts = jnp.asarray(np.diff(z, prepend=0).astype(np.int32))
-            ref = jnp.repeat(x, counts, total_repeat_length=N)
-            got = rk2.repeat_by_counts_v2(x, counts, N)
-            assert bool(jnp.all(ref == got))
+            x2 = jnp.asarray(rng.normal(size=(N, 2)), jnp.float32)
+            iota = jnp.arange(N, dtype=jnp.int32)
+            for payload in (x, x2, iota):
+                ref = jnp.repeat(payload, counts, axis=0,
+                                 total_repeat_length=N)
+                got = rk.repeat_with_plan(plan, payload)
+                assert got.dtype == payload.dtype
+                assert bool(jnp.all(ref == got)), payload.shape
+            # extreme counts through repeat_by_z
             for pos in (0, 5, N // 2, N - 1):
                 c2 = jnp.zeros(N, jnp.int32).at[pos].set(N)
-                g = rk2.repeat_by_counts_v2(x, c2, N)
-                assert bool(
-                    jnp.all(jnp.repeat(x, c2, total_repeat_length=N) == g)
-                ), pos
-        finally:
-            rk2.pl.pallas_call = orig
-            rk2._repeat_pallas_v2.clear_cache()
-
-    @pytest.mark.parametrize("N", [2048, 8192])
-    def test_v3_matches_jnp_repeat(self, N):
-        from jax.experimental import pallas as pl
-        import particles_tpu.ops.repeat_kernel_v3 as rk3
-
-        orig = pl.pallas_call
-
-        def patched(*a, **kw):
-            kw["interpret"] = True
-            return orig(*a, **kw)
-
-        rk3.pl.pallas_call = patched
-        try:
-            rng = np.random.default_rng(N)
-            W = rng.dirichlet(np.ones(N) * 0.2).astype(np.float32)
-            x = jnp.asarray(rng.normal(size=N), jnp.float32)
-            cs = np.cumsum(W)
-            cs /= cs[-1]
-            z = np.clip(np.floor(N * cs - 0.37).astype(np.int32) + 1, 0, N)
-            z[-1] = N
-            counts = jnp.asarray(np.diff(z, prepend=0).astype(np.int32))
-            assert bool(jnp.all(
-                jnp.repeat(x, counts, total_repeat_length=N)
-                == rk3.repeat_by_counts_v3(x, counts, N)
-            ))
-            for pos in (0, 5, N // 2, N - 1):
-                c2 = jnp.zeros(N, jnp.int32).at[pos].set(N)
+                z2 = jnp.cumsum(c2)
                 assert bool(jnp.all(
                     jnp.repeat(x, c2, total_repeat_length=N)
-                    == rk3.repeat_by_counts_v3(x, c2, N)
-                )), pos
+                    == rk.repeat_by_z(x, z2, N))), pos
         finally:
-            rk3.pl.pallas_call = orig
-            rk3._repeat_pallas_v3.clear_cache()
+            rk.pl.pallas_call = orig
+            rk._on_tpu = orig_on_tpu
+            rk._repeat_pallas.clear_cache()
+
