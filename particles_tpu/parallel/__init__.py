@@ -6,3 +6,7 @@ from particles_tpu.parallel.sharded import (  # noqa: F401
     run_sharded_smc,
     run_sharded_multismc,
 )
+from particles_tpu.parallel.distributed import (  # noqa: F401
+    ring_systematic_resample,
+    run_shardmap_smc,
+)

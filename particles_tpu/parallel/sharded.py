@@ -26,11 +26,12 @@ The entry points return results identical in distribution (and, given the
 same key, bit-identical modulo reduction order) to the single-device engine:
 sharding is a layout annotation, not an algorithm change.
 
-Multichip caveat (untestable on this 1-chip machine): GSPMD cannot
-partition a ``pallas_call``, so on a real multichip mesh the engine's
-Pallas repeat kernel would force a gather; ``run_sharded_smc`` therefore
-disables it (``use_pallas_repeat=False`` threads through to a plain
-``jnp.repeat`` move) until a distributed resampling kernel exists.
+Multichip caveat: GSPMD cannot partition a ``pallas_call``, so this
+GSPMD path disables the engine's Pallas repeat kernel (plain
+``jnp.repeat`` move, gathered by GSPMD).  For explicit distributed
+resampling — per-shard z-form + a ``ppermute`` ring redistribution with
+hand-placed collectives — use :mod:`particles_tpu.parallel.distributed`
+(``run_shardmap_smc``), where each shard's local serve is Pallas-ready.
 """
 
 from __future__ import annotations

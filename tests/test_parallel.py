@@ -62,3 +62,94 @@ class TestShardedSMC:
         assert lws.shape == (4, 512)
         assert abs(float(jnp.mean(logLts)) - exact) < 1.0
         assert float(jnp.std(logLts)) > 0
+
+
+class TestRingResampling:
+    """shard_map ring redistribution (parallel/distributed.py): the
+    TPU-native distributed resampling deliverable of SURVEY §2b."""
+
+    def _mesh(self):
+        return parallel.make_mesh(8, ("particles",))
+
+    def test_ring_matches_single_device_z_path(self):
+        """Given identical (lw, x, u), the distributed ring resample is
+        EXACTLY the single-device z-form counts path (sorted ancestors)."""
+        from jax.sharding import PartitionSpec as P
+        from particles_tpu.parallel import distributed as dist
+        from particles_tpu import resampling as rs
+        from particles_tpu.ops import repeat_by_z
+
+        mesh = self._mesh()
+        N, D = 4096, 8
+        rng = np.random.default_rng(0)
+        lw = jnp.asarray(rng.normal(size=N), jnp.float32)
+        x = jnp.asarray(rng.normal(size=N), jnp.float32)
+        x2 = jnp.asarray(rng.normal(size=(N, 2)), jnp.float32)
+        u = jnp.float32(0.37)
+
+        def local(xloc, x2loc, lwloc):
+            y = dist.ring_systematic_resample(
+                {"a": xloc, "b": x2loc}, lwloc, u, N, "particles", D)
+            return y["a"], y["b"]
+
+        f = dist._shard_map(
+            local, mesh,
+            in_specs=(P("particles"), P("particles"), P("particles")),
+            out_specs=(P("particles"), P("particles")),
+        )
+        with mesh:
+            got, got2 = jax.jit(f)(x, x2, lw)
+
+        # single-device z-form with the SAME u (bit-match construction:
+        # same normalised cumsum association up to the boundary pinning)
+        W = rs.exp_and_normalise(lw)
+        cs = jnp.cumsum(W)
+        cs = cs / cs[-1]
+        z = jnp.clip(jnp.floor(N * cs - u).astype(jnp.int32) + 1, 0, N)
+        z = z.at[-1].set(N)
+        z = jax.lax.associative_scan(jnp.maximum, z)
+        want = repeat_by_z(x, z, N)
+        want2 = repeat_by_z(x2, z, N)
+        assert int(jnp.sum(got != want)) == 0
+        assert int(jnp.sum(got2 != want2)) == 0
+
+    def test_ring_extreme_concentration(self):
+        """All weight on one source (worst-case imbalance): every output
+        must be that source, across all shards."""
+        from jax.sharding import PartitionSpec as P
+        from particles_tpu.parallel import distributed as dist
+
+        mesh = self._mesh()
+        N, D = 1024, 8
+        for pos in (0, 700, N - 1):
+            lw = jnp.full(N, -jnp.inf).at[pos].set(0.0)
+            lw = jnp.where(jnp.isinf(lw), -100.0, lw)  # keep exp finite
+            x = jnp.arange(N, dtype=jnp.float32)
+
+            def local(xloc, lwloc):
+                return dist.ring_systematic_resample(
+                    xloc, lwloc, jnp.float32(0.5), N, "particles", D)
+
+            f = dist._shard_map(
+                local, mesh,
+                in_specs=(P("particles"), P("particles")),
+                out_specs=P("particles"),
+            )
+            with mesh:
+                got = jax.jit(f)(x, lw)
+            frac = float(jnp.mean(got == pos))
+            assert frac > 0.99, (pos, frac)
+
+    def test_shardmap_filter_matches_kalman(self):
+        """Full shard_map filter: logLt unbiased for the exact evidence."""
+        ssm, y, exact = setup_lg()
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        mesh = self._mesh()
+        vals = []
+        for s in range(3):
+            res = parallel.run_shardmap_smc(
+                fk, N=4096, key=jax.random.key(s), mesh=mesh)
+            vals.append(float(res.logLt))
+            assert res.lw.shape == (4096,)
+            assert res.ESSs.shape[0] == int(fk.T) - 1
+        assert abs(np.mean(vals) - exact) < 0.6, (vals, exact)
