@@ -21,28 +21,42 @@ from particles_tpu import kalman
 from particles_tpu import state_space_models as ssms
 
 
-def main():
+def main(small=False):
+    T = 30 if small else 100
+    N = 100 if small else 1000
+    nruns = 6 if small else 30
+    essrmins = [0.5] if small else [0.0, 0.25, 0.5, 0.75, 1.0]
+    schemes = (["systematic", "multinomial"] if small
+               else ["multinomial", "systematic", "ssp"])
     ssm = kalman.LinearGauss(rho=0.9, sigmaX=1.0, sigmaY=0.2)
-    x, y = ssm.simulate(jax.random.key(0), 100)
+    x, y = ssm.simulate(jax.random.key(0), T)
     kf = kalman.Kalman(ssm=ssm, data=y)
     kf.filter()
     exact = float(kf.logLt)
     fk = ssms.Bootstrap(ssm=ssm, data=y)
 
     results = particles.multiSMC(
-        fk=fk, N=1000, nruns=30,
-        ESSrmin=[0.0, 0.25, 0.5, 0.75, 1.0],
-        resampling=["multinomial", "systematic", "ssp"],
+        fk=fk, N=N, nruns=nruns,
+        ESSrmin=essrmins,
+        resampling=schemes,
         key=jax.random.key(1),
     )
     print(f"exact logLt = {exact:.3f}\n")
     print(f"{'ESSrmin':>8} {'scheme':>12} {'bias':>8} {'std':>7}")
-    for essrmin in (0.0, 0.25, 0.5, 0.75, 1.0):
-        for scheme in ("multinomial", "systematic", "ssp"):
+    out = {}
+    for essrmin in essrmins:
+        for scheme in schemes:
             lls = [float(r["output"].logLt) for r in results
                    if r["ESSrmin"] == essrmin and r["resampling"] == scheme]
+            out[(essrmin, scheme)] = (np.mean(lls) - exact, np.std(lls))
             print(f"{essrmin:8.2f} {scheme:>12} "
                   f"{np.mean(lls) - exact:+8.3f} {np.std(lls):7.3f}")
+    # unbiasedness of the logLt estimator at every schedule/scheme
+    tol = 6.0 / np.sqrt(N * nruns / 100)
+    for (essrmin, scheme), (bias, sd) in out.items():
+        assert abs(bias) < max(tol, 4 * sd / np.sqrt(nruns) + 0.2), (
+            essrmin, scheme, bias, sd)
+    return out
 
 
 if __name__ == "__main__":

@@ -24,9 +24,10 @@ class GaussianMean(ssp.StaticModel):
         return dists.Normal(loc=theta["mu"], scale=1.0).logpdf(self.data[t])
 
 
-def main():
+def main(small=False):
     rng = np.random.default_rng(1)
     T = 20
+    N_ns, N_smc = (100, 150) if small else (200, 300)
     y = rng.normal(loc=1.0, size=T).astype(np.float32)
     prior = dists.StructDist({"mu": dists.Normal(loc=0.0, scale=1.0)})
     model = GaussianMean(data=y, prior=prior)
@@ -35,27 +36,36 @@ def main():
     ).logpdf(y)
     print(f"exact log-evidence: {exact:.3f}\n")
 
-    ns = nested.Nested_RWmoves(model=model, N=200, nsteps=5,
+    ns = nested.Nested_RWmoves(model=model, N=N_ns, nsteps=5,
                                key=jax.random.key(0))
     ns.run()
-    print(f"vanilla NS          : {ns.lZhats[-1]:8.3f} "
+    ns_est = float(ns.lZhats[-1])
+    print(f"vanilla NS          : {ns_est:8.3f} "
           f"({len(ns.lZhats)} contractions)")
 
     pf = particles.SMC(
         fk=nested.NestedSamplingSMC(model=model, len_chain=5, ESSrmin=0.3),
-        N=300, key=jax.random.key(1),
+        N=N_smc, key=jax.random.key(1),
     )
     pf.run()
-    print(f"NS-SMC              : {float(pf.X.shared['log_evid']):8.3f} "
+    nssmc_est = float(pf.X.shared["log_evid"])
+    print(f"NS-SMC              : {nssmc_est:8.3f} "
           f"({pf.t} levels)")
 
     pf2 = particles.SMC(
-        fk=ssp.AdaptiveTempering(model=model, len_chain=5), N=300,
+        fk=ssp.AdaptiveTempering(model=model, len_chain=5), N=N_smc,
         key=jax.random.key(2),
     )
     pf2.run()
-    print(f"adaptive tempering  : {float(pf2.logLt):8.3f} "
+    temp_est = float(pf2.logLt)
+    print(f"adaptive tempering  : {temp_est:8.3f} "
           f"({pf2.t} tempering steps)")
+    # all three estimators agree with the conjugate closed form
+    for name, est, tol in (("NS", ns_est, 1.5), ("NS-SMC", nssmc_est, 1.5),
+                           ("tempering", temp_est, 1.0)):
+        assert abs(est - exact) < tol, (name, est, exact)
+    return {"exact": exact, "ns": ns_est, "ns_smc": nssmc_est,
+            "tempering": temp_est}
 
 
 if __name__ == "__main__":

@@ -28,43 +28,58 @@ from particles_tpu import smc_samplers as ssp
 from particles_tpu import state_space_models as ssms
 
 
-def main():
+def main(small=False, leverage=None):
     ds = datasets.GBP_vs_USD_9798()
     y = jnp.asarray(ds.data, jnp.float32)
+    if small:
+        y = y[:60]
+    if leverage is None:
+        leverage = not small  # book parity: SV with leverage
+    ssm_cls = ssms.StochVolLeverage if leverage else ssms.StochVol
+    Ntheta = 60 if small else 500
+    init_Nx = 30 if small else 100
     print(f"GBP/USD log-returns: T={y.shape[0]} "
-          f"({'synthetic surrogate' if ds.synthetic else 'real data'})")
+          f"({'synthetic surrogate' if ds.synthetic else 'real data'}), "
+          f"model={ssm_cls.__name__}")
 
     prior = dists.StructDist({
         "mu": dists.Normal(loc=-1.0, scale=2.0),
         "rho": dists.Uniform(a=-0.99, b=0.99),
         "sigma": dists.Gamma(a=2.0, b=4.0),
+        **({"phi": dists.Uniform(a=-0.99, b=0.99)} if leverage else {}),
     })
 
     fk = ssp.SMC2(
-        ssm_cls=ssms.StochVol, prior=prior, data=y, init_Nx=100,
+        ssm_cls=ssm_cls, prior=prior, data=y, init_Nx=init_Nx,
         len_chain=4, ar_to_increase_Nx=0.1,
     )
-    pf = particles.SMC(fk=fk, N=500, key=jax.random.key(0), ESSrmin=0.5)
+    pf = particles.SMC(fk=fk, N=Ntheta, key=jax.random.key(0), ESSrmin=0.5)
     t0 = time.perf_counter()
     pf.run()
     float(pf.logLt)  # force (block_until_ready is unreliable on this tunnel)
     elapsed = time.perf_counter() - t0
 
     W = np.asarray(pf.wgts.W)
-    print(f"\nSMC2 Ntheta=500, T={y.shape[0]}, final Nx="
+    print(f"\nSMC2 Ntheta={Ntheta}, T={y.shape[0]}, final Nx="
           f"{pf.X.xs.shape[1]}: {elapsed:.0f}s "
           f"(reference quotes ~2h for a comparable run)")
     print(f"log marginal likelihood: {float(pf.logLt):.2f}")
-    # NOTE: under these priors the posterior concentrates on a moderate-
-    # persistence mode (rho ~ 0.2, sigma ~ 0.6) rather than the classic
-    # high-persistence SV fit; cross-checked against a 5000-iteration PMMH
-    # run and direct likelihood evaluation at both modes (the moderate mode
-    # scores ~14 nats higher on this series with the plain StochVol model).
-    for par in ("mu", "rho", "sigma"):
+    # NOTE (plain StochVol): under these priors the posterior concentrates
+    # on a moderate-persistence mode (rho ~ 0.2, sigma ~ 0.6) rather than
+    # the classic high-persistence SV fit; cross-checked against a
+    # 5000-iteration PMMH run and direct likelihood evaluation at both
+    # modes (the moderate mode scores ~14 nats higher on this series).
+    out = {"logLt": float(pf.logLt), "final_Nx": int(pf.X.xs.shape[1])}
+    for par in prior.laws:
         v = np.asarray(pf.X.theta[par])
         m = np.sum(W * v)
-        sd = np.sqrt(np.sum(W * v**2) - m**2)
+        sd = np.sqrt(max(np.sum(W * v**2) - m**2, 0.0))
+        out[par] = (m, sd)
         print(f"  {par:6s}: {m:+.3f} +/- {sd:.3f}")
+    assert np.isfinite(out["logLt"])
+    assert float(pf.wgts.ESS) > 1.0
+    assert abs(out["rho"][0]) < 1.0
+    return out
 
 
 if __name__ == "__main__":

@@ -21,16 +21,20 @@ from particles_tpu import kalman
 from particles_tpu import state_space_models as ssms
 
 
-def main():
+def main(small=False):
+    T = 20 if small else 50
+    Ns = (100,) if small else (100, 400)
+    nreps = 8 if small else 20
     ssm = kalman.LinearGauss(rho=0.9, sigmaX=1.0, sigmaY=0.2)
-    x, y = ssm.simulate(jax.random.key(42), 50)
+    x, y = ssm.simulate(jax.random.key(42), T)
     kf = kalman.Kalman(ssm=ssm, data=y)
     kf.filter()
     fk = ssms.Bootstrap(ssm=ssm, data=y)
 
-    for N in (100, 400):
+    gains = {}
+    for N in Ns:
         smc_lls, sqmc_lls = [], []
-        for s in range(20):
+        for s in range(nreps):
             pf = particles.SMC(fk=fk, N=N, key=jax.random.key(s))
             pf.run()
             smc_lls.append(float(pf.logLt))
@@ -38,10 +42,15 @@ def main():
                                 key=jax.random.key(1000 + s))
             pfq.run()
             sqmc_lls.append(float(pfq.logLt))
+        gains[N] = np.var(smc_lls) / np.var(sqmc_lls)
         print(f"N={N:5d}: var(SMC logLt) = {np.var(smc_lls):.4f}   "
               f"var(SQMC logLt) = {np.var(sqmc_lls):.4f}   "
-              f"gain {np.var(smc_lls) / np.var(sqmc_lls):5.1f}x   "
+              f"gain {gains[N]:5.1f}x   "
               f"(exact {float(kf.logLt):.2f})")
+    # SQMC's whole point: lower logLt variance at equal N
+    for N, g in gains.items():
+        assert g > 1.0, (N, g)
+    return gains
 
 
 if __name__ == "__main__":

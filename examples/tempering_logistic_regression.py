@@ -35,30 +35,46 @@ class LogisticRegression(ssp.StaticModel):
         return -jax.nn.softplus(-lin)
 
 
-def main():
+def main(small=False):
     ds = datasets.Pima()
     data = jnp.asarray(ds.data, jnp.float32)
+    if small:
+        data = data[:120]
     p = data.shape[1]
+    len_chain = 10 if small else 30
+    N = 40 if small else 100
     print(f"Pima: {data.shape[0]} observations, {p} predictors "
           f"({'synthetic surrogate' if ds.synthetic else 'real data'})")
 
     prior = dists.StructDist(
-        {f"b{j}": dists.Normal(scale=5.0 if j == 0 else 5.0) for j in range(p)}
+        {f"b{j}": dists.Normal(scale=5.0) for j in range(p)}
     )
     model = LogisticRegression(data=data, prior=prior)
 
-    fk = ssp.AdaptiveTempering(model=model, len_chain=30, ESSrmin=0.5)
-    pf = particles.SMC(fk=fk, N=100, key=jax.random.key(0), verbose=True)
+    fk = ssp.AdaptiveTempering(model=model, len_chain=len_chain, ESSrmin=0.5)
+    pf = particles.SMC(fk=fk, N=N, key=jax.random.key(0), verbose=not small)
     pf.run()
 
     W = np.asarray(pf.wgts.W)
-    print(f"\nlog marginal likelihood: {float(pf.logLt):.3f} "
-          f"(path sampling: {float(pf.X.shared['path_sampling']):.3f})")
+    logev = float(pf.logLt)
+    path_est = float(pf.X.shared["path_sampling"])
+    print(f"\nlog marginal likelihood: {logev:.3f} "
+          f"(path sampling: {path_est:.3f})")
+    out = {"logLt": logev, "path_sampling": path_est}
     for j in range(min(p, 4)):
         b = np.asarray(pf.X.theta[f"b{j}"])
         v = ssp.var_wf(pf, lambda x, j=j: np.asarray(x.theta[f"b{j}"]))
+        out[f"b{j}"] = np.sum(W * b)
         print(f"  b{j}: posterior mean {np.sum(W * b):+.3f} "
               f"(single-run MCSE {np.sqrt(v / b.shape[0]):.4f})")
+    # two independent evidence estimators must agree
+    assert np.isfinite(logev)
+    assert abs(logev - path_est) < (8.0 if small else 3.0), out
+    # on real Pima, the intercept effect is decisively positive (the
+    # sign-flip construction makes b0 the dominant margin direction)
+    if not (small or ds.synthetic):
+        assert out["b0"] > 0.0, out
+    return out
 
 
 if __name__ == "__main__":

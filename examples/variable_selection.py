@@ -24,11 +24,14 @@ from particles_tpu import distributions as dists
 from particles_tpu import smc_samplers as ssp
 
 
-def main():
+def main(small=False):
     ds = datasets.Boston()
     X, y = ds.data
     y = y - y.mean()
+    if small:
+        X, y = X[:150], y[:150]
     p = X.shape[1]
+    N = 100 if small else 400
     print(f"Boston: n={X.shape[0]}, p={p} "
           f"({'synthetic surrogate' if ds.synthetic else 'real data'})")
 
@@ -38,7 +41,7 @@ def main():
     move = ssp.MCMCSequenceWF(mcmc=bin_smc.BinaryMetropolis(), len_chain=5)
     fk = ssp.AdaptiveTempering(model=model, len_chain=5, move=move,
                                ESSrmin=0.5)
-    pf = particles.SMC(fk=fk, N=400, key=jax.random.key(0), verbose=True)
+    pf = particles.SMC(fk=fk, N=N, key=jax.random.key(0), verbose=not small)
     pf.run()
 
     W = np.asarray(pf.wgts.W)
@@ -49,6 +52,13 @@ def main():
     order = np.argsort(-incl)
     for j in order[:8]:
         print(f"  predictor {j:2d}: {incl[j]:.3f}")
+    assert np.isfinite(float(pf.logLt))
+    assert np.all((incl >= 0) & (incl <= 1 + 1e-6))
+    if not (small or ds.synthetic):
+        # LSTAT (col 13 incl. intercept) and RM (col 6) dominate Boston
+        # regressions; they must be among the top inclusion probabilities
+        assert incl[13] > 0.9 or incl[6] > 0.9, incl
+    return incl
 
 
 if __name__ == "__main__":

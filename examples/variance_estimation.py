@@ -22,11 +22,12 @@ from particles_tpu import state_space_models as ssms
 from particles_tpu import variance_estimators as var_est
 
 
-def main():
+def main(small=False):
+    T = 15 if small else 30
+    N, nruns = (200, 15) if small else (500, 50)
     ssm = kalman.LinearGauss(rho=0.9, sigmaX=1.0, sigmaY=0.3)
-    x, y = ssm.simulate(jax.random.key(0), 30)
+    x, y = ssm.simulate(jax.random.key(0), T)
     fk = ssms.Bootstrap(ssm=ssm, data=y)
-    N, nruns = 500, 50
 
     single_run_ests, logLts, mean_ests = [], [], []
     for s in range(nruns):
@@ -40,10 +41,16 @@ def main():
         W = np.asarray(pf.wgts.W)
         mean_ests.append(float(np.sum(W * np.asarray(pf.X))))
 
-    print(f"var(logLt):   empirical over {nruns} runs = {np.var(logLts):.5f}")
-    print(f"              mean single-run estimate    = "
-          f"{np.mean(single_run_ests):.5f}")
+    emp = np.var(logLts)
+    est = np.mean(single_run_ests)
+    print(f"var(logLt):   empirical over {nruns} runs = {emp:.5f}")
+    print(f"              mean single-run estimate    = {est:.5f}")
     print(f"filter mean:  empirical var  = {np.var(mean_ests):.6f}")
+    # the genealogy estimator tracks the true estimator variance
+    # (order-of-magnitude agreement is the estimator's guarantee here)
+    assert est > 0
+    assert 0.2 < est / max(emp, 1e-8) < 5.0, (est, emp)
+    return {"empirical": emp, "single_run": est}
 
 
 if __name__ == "__main__":

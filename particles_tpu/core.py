@@ -1024,34 +1024,56 @@ def multiSMC(
     joblib process pool (utils.py:158-202) and its seeding discipline are
     replaced by ``jax.random.split``.  ``nprocs`` is accepted for API
     compatibility and ignored.
+
+    Any other :class:`SMC` constructor option (``verbose``, sampler FKs
+    such as IBIS/Tempering, future options) is accepted too: combos that
+    cannot take the vmapped scan fast path (SMC-sampler FKs run through
+    the stepping engine; unrecognised options) fall back to one
+    :class:`SMC` per run — same results, per-run compilation (cached
+    across runs).  ``seed`` is accepted as an alternative to ``key``.
     """
     del nprocs
     base_args = dict(
         fk=fk, N=N, qmc=qmc, resampling=resampling, ESSrmin=ESSrmin
     )
+    seed = args.pop("seed", None)
     base_args.update(args)
     varying_keys = [
         k for k, v in base_args.items() if isinstance(v, (list, dict))
     ]
     labels_list, values_list = utils.cartesian_args(base_args)
 
-    key = key if key is not None else jax.random.key(0)
+    if key is None:
+        key = jax.random.key(0 if seed is None else seed)
     keys = jax.random.split(key, nruns)
+
+    _FAST_KEYS = {"fk", "N", "qmc", "resampling", "ESSrmin", "store_history"}
 
     results = []
     for labels, values in zip(labels_list, values_list):
+        fk_v = values["fk"]
+        is_sampler = bool(getattr(fk_v, "is_sampler", False))
+        extra = set(values) - _FAST_KEYS
+        if is_sampler or extra:
+            # generic path: sampler FKs need the stepping engine
+            # (waste-free shape changes, host-side collectors); unknown
+            # options are forwarded to the SMC constructor
+            for r in range(nruns):
+                pf = SMC(collect=collect, key=keys[r], **values)
+                pf.run()
+                out_obj = pf if out_func is None else out_func(pf)
+                entry = {k: labels[k] for k in varying_keys}
+                entry["run"] = r
+                entry["output"] = out_obj
+                results.append(entry)
+            continue
+        values = dict(values)
         fk_v = values.pop("fk")
         N_v = values.pop("N")
         qmc_v = values.pop("qmc")
         scheme_v = values.pop("resampling")
         essrmin_v = values.pop("ESSrmin")
         store_hist_v = bool(values.pop("store_history", False))
-        if values:
-            raise ValueError(
-                f"multiSMC: unsupported option(s) {sorted(values)}; supported "
-                "options are fk, N, qmc, resampling, ESSrmin, store_history "
-                "(each possibly list/dict-valued), plus nruns/collect/key"
-            )
         summaries = collectors.Summaries(collect) if collect != "off" else None
         T = int(fk_v.T)
 

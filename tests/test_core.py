@@ -280,6 +280,61 @@ class TestMultiSMC:
         assert schemes == {"multinomial", "systematic"}
         assert all("run" in r for r in results)
 
+    def test_seed_kwarg(self, lg_setup):
+        ssm, y, _ = lg_setup
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        r1 = particles.multiSMC(fk=fk, N=100, nruns=2, seed=7)
+        r2 = particles.multiSMC(fk=fk, N=100, nruns=2, seed=7)
+        assert float(r1[0]["output"].logLt) == float(r2[0]["output"].logLt)
+
+    def test_sampler_fk_through_multismc(self, lg_setup):
+        """Reference parity (core.py:431-518): an SMC-sampler FK (IBIS)
+        runs through multiSMC via the stepping engine."""
+        from particles_tpu import distributions as dists
+        from particles_tpu import smc_samplers as ssp
+
+        rng = np.random.default_rng(0)
+        data = jnp.asarray(rng.normal(0.5, 1.0, size=30), jnp.float32)
+
+        class GaussMean(ssp.StaticModel):
+            def logpyt(self, theta, t):
+                return dists.Normal(loc=theta["mu"], scale=1.0).logpdf(
+                    self.data[t])
+
+        prior = dists.StructDist({"mu": dists.Normal(scale=3.0)})
+        fk_ibis = ssp.IBIS(model=GaussMean(data=data, prior=prior),
+                           len_chain=5)
+        out = particles.multiSMC(fk=fk_ibis, N=50, nruns=2, seed=3)
+        assert len(out) == 2
+        vals = [float(r["output"].logLt) for r in out]
+        assert all(np.isfinite(v) for v in vals)
+        assert vals[0] != vals[1]  # distinct run keys
+
+    def test_mixed_grid_and_extra_options(self, lg_setup):
+        """A dict-valued fk mixing a filter and a sampler, plus an option
+        outside the fast-path set (verbose), still runs every combo."""
+        from particles_tpu import distributions as dists
+        from particles_tpu import smc_samplers as ssp
+
+        ssm, y, _ = lg_setup
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        rng = np.random.default_rng(1)
+        data = jnp.asarray(rng.normal(size=20), jnp.float32)
+
+        class GaussMean(ssp.StaticModel):
+            def logpyt(self, theta, t):
+                return dists.Normal(loc=theta["mu"], scale=1.0).logpdf(
+                    self.data[t])
+
+        prior = dists.StructDist({"mu": dists.Normal(scale=3.0)})
+        fk_ibis = ssp.IBIS(model=GaussMean(data=data, prior=prior),
+                           len_chain=4)
+        out = particles.multiSMC(fk={"boot": fk, "ibis": fk_ibis}, N=40,
+                                 nruns=2, verbose=False, seed=11)
+        assert len(out) == 4
+        assert sorted(set(r["fk"] for r in out)) == ["boot", "ibis"]
+        assert all(np.isfinite(float(r["output"].logLt)) for r in out)
+
 
 class TestCheckpointResume:
     def test_roundtrip_bitwise(self, lg_setup):
