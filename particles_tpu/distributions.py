@@ -848,7 +848,10 @@ class MvNormal(ProbDist):
 
     def ppf(self, u):
         """Rosenblatt transform; if u has fewer columns than dim, the
-        remaining coordinates are set to 0 (reference distributions.py:971-982)."""
+        remaining coordinates are set to 0 (reference distributions.py:971-982).
+        A 1-D ``u`` (the engine's du=1 fast path) is treated as one column."""
+        if u.ndim == 1:
+            u = u[:, None]
         N, du = u.shape
         z = jsp_special.ndtri(u)
         if du < self.dim:

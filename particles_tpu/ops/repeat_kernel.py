@@ -144,22 +144,28 @@ def make_repeat_plan(z, M):
     NV = 2 * nchunks
     zbl = zp[C - 1::C]                                  # z at block ends
     boundaries = jnp.arange(nchunks, dtype=jnp.int32) * C
-    # serving block of output j = #{w: zbl[w] <= j}
+    # serving block of output j = #{w: zbl[w] <= j}.  All searchsorted
+    # calls are phrased as broadcast compare-and-count so XLA fuses each
+    # into a single kernel (a searchsorted op breaks the fusion chain and
+    # costs a separate dispatch; the tables are only nchunks long, so the
+    # all-pairs compare is trivial device work).
     w_start = jnp.clip(
-        jnp.searchsorted(zbl, boundaries, side="right").astype(jnp.int32),
+        jnp.sum((zbl[None, :] <= boundaries[:, None]).astype(jnp.int32),
+                axis=1),
         0, nblocks - 1)
     w_end = jnp.maximum(jnp.clip(
-        jnp.searchsorted(zbl, boundaries + (C - 1),
-                         side="right").astype(jnp.int32),
+        jnp.sum((zbl[None, :] <= boundaries[:, None] + (C - 1))
+                .astype(jnp.int32), axis=1),
         0, nblocks - 1), w_start)
-    s = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                         jnp.cumsum(w_end - w_start + 1)])
+    cnt = w_end - w_start + 1
+    s_incl = jnp.cumsum(cnt)
+    s_excl = s_incl - cnt
     v = jnp.arange(NV, dtype=jnp.int32)
     tch = jnp.clip(
-        jnp.searchsorted(s, v, side="right").astype(jnp.int32) - 1,
+        jnp.sum((s_incl[None, :] <= v[:, None]).astype(jnp.int32), axis=1),
         0, nchunks - 1)
-    active = v < s[-1]
-    wblk = jnp.clip(jnp.take(w_start, tch) + (v - jnp.take(s, tch)),
+    active = v < s_incl[-1]
+    wblk = jnp.clip(jnp.take(w_start, tch) + (v - jnp.take(s_excl, tch)),
                     0, nblocks - 1)
     tch = jnp.where(active, tch, nchunks - 1)
     wblk = jnp.where(active, wblk, nblocks - 1)
