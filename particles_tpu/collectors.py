@@ -55,6 +55,10 @@ class Collector(Pytree):
     # materialising ancestor indices / resampled ancestors when no consumer
     # needs them (conservative default: custom collectors pay the cost).
     uses_genealogy = True
+    # True if collect()/step() runs host-side NumPy (e.g. the waste-free
+    # variance estimators): such collectors cannot execute inside the
+    # compiled scan, so SMC falls back to step-by-step execution.
+    host_side = False
 
     @property
     def summary_name(self):
@@ -340,6 +344,12 @@ class Summaries:
         """True if any collector reads view.A / view.Xp (the SQMC engine
         skips materialising them otherwise)."""
         return any(c.uses_genealogy for c in self._collectors)
+
+    @property
+    def has_host_side(self):
+        """True if any collector runs host-side NumPy (cannot trace):
+        forces step-by-step execution instead of the compiled scan."""
+        return any(c.host_side for c in self._collectors)
 
     def init_step(self, view):
         """t=0: returns (states, outputs) across collectors."""

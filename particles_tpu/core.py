@@ -658,16 +658,21 @@ class SMC:
 
             smc_samplers.sampler_next(self)
             return
+        # host-side (NumPy) collectors cannot trace: exclude summaries from
+        # the jitted step and run them on the concrete view afterwards
+        host_cols = (self.summaries is not None
+                     and self.summaries.has_host_side)
+        in_step = None if host_cols else self.summaries
         if self.t == 0:
             self._hist_frames = []
             carry, view, outs, _ = _step0(
-                self.fk, self.key, self.N, self.qmc, self.summaries, self.ESSrmin
+                self.fk, self.key, self.N, self.qmc, in_step, self.ESSrmin
             )
         elif self.qmc:
             if not hasattr(self, "_jit_step_qmc"):
                 self._jit_step_qmc = jax.jit(
                     lambda fk, carry, t: _step_qmc(
-                        fk, carry, t, self.N, self.ESSrmin, self.summaries,
+                        fk, carry, t, self.N, self.ESSrmin, in_step,
                     ),
                 )
             carry, view, outs = self._jit_step_qmc(
@@ -678,13 +683,19 @@ class SMC:
                 self._jit_step = jax.jit(
                     lambda fk, carry, t: _step(
                         fk, carry, t, self.N, self.resampling, self.ESSrmin,
-                        self.summaries,
+                        in_step,
                     ),
                 )
             carry, view, outs = self._jit_step(
                 self.fk, self._carry, jnp.int32(self.t)
             )
         self._install_view(view, carry)
+        if host_cols:
+            if self.t == 0:
+                self._col_states, outs = self.summaries.init_step(view)
+            else:
+                self._col_states, outs = self.summaries.step(
+                    view, self._col_states)
         if self.summaries is not None:
             self.summaries.append_step(outs)
         if self.verbose:
@@ -838,6 +849,9 @@ class SMC:
             and hist_ok
             and not self.verbose  # per-iteration printing: step mode
             and not getattr(self.fk, "is_sampler", False)
+            # host-side (NumPy) collectors cannot run inside the scan
+            and not (self.summaries is not None
+                     and self.summaries.has_host_side)
         )
 
     def _hist_spec(self, T):

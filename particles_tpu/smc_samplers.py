@@ -903,6 +903,7 @@ class Var_phi(col.Collector):
 
     summary_name = "var_phi"
     signature = {"phi": None}
+    host_side = True
 
     def collect(self, view):
         class _V:
@@ -921,6 +922,7 @@ class Var_logLt(col.Collector):
 
     summary_name = "var_logLt"
     stateful = True
+    host_side = True
 
     def _var_logw(self, view):
         lw = np.reshape(np.asarray(view.wgts.lw), (-1, view.N))

@@ -161,3 +161,30 @@ class TestMCMCVariance:
         W = np.full(8, 1 / 8)
         v = variance_mcmc.MCMC_variance_weighted(X, W, "init_seq")
         assert 0.6 < v < 1.5
+
+
+class TestHostSideCollectorsOnFilters:
+    """Var_phi/Var_logLt run host-side NumPy: attaching them to a plain
+    (scan-engine) filter must transparently fall back to step-by-step
+    execution instead of dying with a TracerArrayConversionError."""
+
+    def test_var_phi_on_filter(self):
+        import particles_tpu as particles
+        from particles_tpu import kalman
+        from particles_tpu import smc_samplers as ssp
+        from particles_tpu import state_space_models as ssms
+
+        lg = kalman.LinearGauss(rho=0.9, sigmaX=1.0, sigmaY=0.2)
+        x, y = lg.simulate(jax.random.key(0), 12)
+        pf = particles.SMC(
+            fk=ssms.Bootstrap(ssm=lg, data=y), N=64,
+            collect=[ssp.Var_phi(phi=lambda xx: np.asarray(xx)),
+                     ssp.Var_logLt()],
+            key=jax.random.key(1))
+        assert not pf._static_horizon  # host-side collectors: step mode
+        pf.run()
+        for name in ("var_phi", "var_logLt"):
+            v = np.asarray(getattr(pf.summaries, name))
+            assert v.shape == (12,) and np.isfinite(v).all(), name
+        # defaults still collected alongside
+        assert np.asarray(pf.summaries.ESSs).shape == (12,)
