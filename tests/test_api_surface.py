@@ -125,3 +125,30 @@ class TestListHelpers:
         assert isinstance(a, jax.Array) and a.shape == (6,)
         b = ssp.gen_concatenate(np.arange(3), np.arange(2))
         assert isinstance(b, np.ndarray) and b.shape == (5,)
+
+
+def test_reference_readme_quickstart():
+    """The reference's README example runs verbatim, modulo the one
+    documented API difference (explicit PRNG key in simulate/SMC):
+    undeclared model parameters (sigma) become attributes, simulate
+    returns (x, y), and the bootstrap filter runs with defaults."""
+    import particles_tpu as particles
+    import particles_tpu.state_space_models as ssm
+    import particles_tpu.distributions as dists
+
+    class ToySSM(ssm.StateSpaceModel):
+        def PX0(self):
+            return dists.Normal()
+
+        def PX(self, t, xp):
+            return dists.Normal(loc=xp)
+
+        def PY(self, t, xp, x):
+            return dists.Normal(loc=x, scale=self.sigma)
+
+    my_model = ToySSM(sigma=0.2)
+    x, y = my_model.simulate(jax.random.key(0), 200)
+    assert len(x) == len(y) == 200
+    alg = particles.SMC(fk=ssm.Bootstrap(ssm=my_model, data=y), N=200)
+    alg.run()
+    assert np.isfinite(float(alg.logLt))
