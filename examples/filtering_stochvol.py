@@ -1,0 +1,78 @@
+"""Bootstrap vs guided vs auxiliary filters on stochastic volatility,
+against an SQMC N=10^5-class gold standard.
+
+TPU-native counterpart of
+book/filtering/comparing_bootstrap_guided_apf_stochvol.py (Section
+10.4.2, Figure 10.3): the guided/APF proposals use the Pitt & Shephard
+(1999) Taylor-expansion trick built into `StochVol`; where no closed
+form exists, the reference uses a large-N SQMC run as the baseline —
+reproduced here on the real GBP/USD data.  The chapter's finding (which
+this example asserts) is that for SV with small transition noise the
+bootstrap proposal is already near-optimal, so the three filters perform
+comparably — in contrast to the linear-Gaussian case (see
+docs/tutorials/05_advanced_ssm.py) where guided/APF dominate.
+"""
+
+# allow running directly from a source checkout
+import os as _os
+import sys as _sys
+_sys.path.insert(
+    0, _os.path.abspath(_os.path.join(_os.path.dirname(__file__), ".."))
+)
+
+import numpy as np
+
+import jax
+
+import particles_tpu as particles
+from particles_tpu import collectors as col
+from particles_tpu import datasets as dts
+from particles_tpu import state_space_models as ssms
+
+
+def main(small=False):
+    T = 60 if small else 201
+    N = 200 if small else 1000
+    Ngold = 2**12 if small else 2**16
+    nreps = 5 if small else 12
+    data = np.asarray(dts.GBP_vs_USD_9798().data)[:T]
+    my_ssm = ssms.StochVol(mu=2 * np.log(0.5992), sigma=0.178, rho=0.9702)
+
+    # gold standard: one big SQMC run's filtering means
+    gold_pf = particles.SMC(
+        fk=ssms.Bootstrap(ssm=my_ssm, data=data), N=Ngold, qmc=True,
+        collect=[col.Moments()], key=jax.random.key(0))
+    gold_pf.run()
+    gold = np.asarray(gold_pf.summaries.moments["mean"])
+
+    models = {
+        "bootstrap": ssms.Bootstrap(ssm=my_ssm, data=data),
+        "guided": ssms.GuidedPF(ssm=my_ssm, data=data),
+        "apf": ssms.AuxiliaryPF(ssm=my_ssm, data=data),
+    }
+    mse, llsd = {}, {}
+    for name, fk in models.items():
+        errs, lls = [], []
+        for r in range(nreps):
+            pf = particles.SMC(fk=fk, N=N, collect=[col.Moments()],
+                               key=jax.random.key(100 + r))
+            pf.run()
+            m = np.asarray(pf.summaries.moments["mean"])
+            errs.append(np.mean((m - gold) ** 2))
+            lls.append(float(pf.logLt))
+        mse[name] = float(np.mean(errs))
+        llsd[name] = float(np.std(lls))
+        print(f"{name:10s}: filtering-mean MSE vs SQMC gold {mse[name]:.3e}"
+              f"   sd(logLt) {llsd[name]:.3f}")
+    # Section 10.4.2's actual finding for SV: with sigma this small the
+    # bootstrap proposal is already near-optimal, so guided/APF bring
+    # little (unlike the linear-Gaussian case) — all three are comparable
+    # and all track the gold standard
+    for name in models:
+        assert llsd[name] < 2.5 * min(llsd.values()), llsd
+        assert mse[name] < 0.05, (name, mse)
+    return {"mse": mse, "sd_logLt": llsd}
+
+
+if __name__ == "__main__":
+    main()
