@@ -131,20 +131,38 @@ def _timed_run(fk, T_steps, essrmin, reps=2):
 def measure_device():
     fk = _build(T)
     elapsed = _timed_run(fk, T, ESSRMIN)
-    # per-step anatomy on a short horizon (compile cost stays modest)
-    fk200 = _build(200)
-    base_ms = _timed_run(fk200, 200, 0.0) / 200 * 1e3     # never resample
-    full_ms = _timed_run(fk200, 200, 1.1) / 200 * 1e3     # always resample
-    resample_ms = max(full_ms - base_ms, 1e-9)
-    # fundamental repeat traffic: read x + write y, 4B each per particle
-    rs_gbps = (8.0 * N) / (resample_ms * 1e-3) / 1e9
-    return {
-        "elapsed_s": round(elapsed, 3),
-        "step_ms_base": round(base_ms, 3),
-        "step_ms_resample": round(full_ms, 3),
-        "resampling_gbps": round(rs_gbps, 1),
-        "resampling_pct_hbm_roofline": round(100.0 * rs_gbps / HBM_GBPS, 2),
-    }
+    out = {"elapsed_s": round(elapsed, 3)}
+    # per-step anatomy on a short horizon (compile cost stays modest).
+    # Guarded by an alarm: the TPU tunnel's remote compile service has
+    # been observed to wedge for tens of minutes — the headline metric
+    # above must still be printed if that happens.
+    import signal
+
+    def _t(signum, frame):
+        raise TimeoutError("anatomy measurement timed out")
+
+    old = signal.signal(signal.SIGALRM, _t)
+    signal.alarm(420)
+    try:
+        fk200 = _build(200)
+        base_ms = _timed_run(fk200, 200, 0.0) / 200 * 1e3  # never resample
+        full_ms = _timed_run(fk200, 200, 1.1) / 200 * 1e3  # always resample
+        resample_ms = max(full_ms - base_ms, 1e-9)
+        # fundamental repeat traffic: read x + write y, 4B/particle each
+        rs_gbps = (8.0 * N) / (resample_ms * 1e-3) / 1e9
+        out.update({
+            "step_ms_base": round(base_ms, 3),
+            "step_ms_resample": round(full_ms, 3),
+            "resampling_gbps": round(rs_gbps, 1),
+            "resampling_pct_hbm_roofline": round(
+                100.0 * rs_gbps / HBM_GBPS, 2),
+        })
+    except TimeoutError:
+        out["anatomy"] = "timed out"
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+    return out
 
 
 def main():
