@@ -210,11 +210,12 @@ def _on_tpu():
 
 
 # Max trailing dim routed column-wise through the kernel.  Measured on v5e
-# at N=2^20 (jitted resample+move chain, value-forced): per-column kernel
-# vs row-gather jnp.repeat favours the kernel for d <= 3 (the plan and the
-# z transpose are shared across columns, so v6 improves on the round-1
-# d<=3 numbers: 9.0/12.5 ms at d=2/3 vs 16.1 for jnp.repeat).
-_MAX_COLS = 3
+# at N=2^20 (hoisted-plan chain, value-forced, round 2b): XLA's 2-D
+# row-repeat is much cheaper than its 1-D form (d=1..6 jnp.repeat: 8.8 /
+# 5.9 / 5.9 / 5.8 / 4.9 ms/iter), so per-column kernel calls (3.8 / 6.5 /
+# 9.3 ms at d=1/2/3) only win for a single column — route d >= 2 to
+# jnp.repeat.
+_MAX_COLS = 1
 
 
 def _leaf_routable(x, N):
