@@ -240,9 +240,9 @@ def _step0(fk, key, N, qmc, summaries, ESSrmin, constrain=None):
 def _repeat(X, counts, M, use_pallas=True):
     """Resampling move for sorted-ancestor schemes: X[A] = repeat-by-counts.
 
-    1-D and small (N, d<=3) leaves route through the Pallas visit-list
-    kernel on TPU (see particles_tpu.ops/repeat_kernel.py); other leaves
-    use `jnp.repeat`.  ``use_pallas=False`` forces the XLA path (needed
+    1-D and single-column (N, 1) leaves route through the Pallas
+    visit-list kernel on TPU (see particles_tpu.ops/repeat_kernel.py);
+    wider leaves use `jnp.repeat` (its 2-D row form is measured cheaper).  ``use_pallas=False`` forces the XLA path (needed
     under multichip sharding: GSPMD cannot partition a pallas_call).
     Prefer :func:`_repeat_z` inside the engine — it shares the plan across
     leaves and skips the counts cumsum.
@@ -615,10 +615,16 @@ class SMC:
         self.hist = None
         self._hist_obj = None
         if not isinstance(store_history, bool):
-            from particles_tpu import smoothing
+            if getattr(fk, "is_sampler", False):
+                # samplers fill a SamplerHistory honoring the option
+                # (rolling k / save-time callable) in sampler_next
+                pass
+            else:
+                from particles_tpu import smoothing
 
-            self._hist_obj = smoothing.generate_hist_obj(store_history, self)
-            self.hist = self._hist_obj
+                self._hist_obj = smoothing.generate_hist_obj(
+                    store_history, self)
+                self.hist = self._hist_obj
         self._carry = None
 
     def __str__(self):
@@ -1068,7 +1074,11 @@ def multiSMC(
         fk_v = values["fk"]
         is_sampler = bool(getattr(fk_v, "is_sampler", False))
         extra = set(values) - _FAST_KEYS
-        if is_sampler or extra:
+        # rolling (int) / partial (callable) history cannot ride the vmapped
+        # fast path (it would silently degrade to a full (T, N) stack);
+        # route those combos through one SMC per run, which honors them
+        plain_hist = isinstance(values.get("store_history", False), bool)
+        if is_sampler or extra or not plain_hist:
             # generic path: sampler FKs need the stepping engine
             # (waste-free shape changes, host-side collectors); unknown
             # options are forwarded to the SMC constructor

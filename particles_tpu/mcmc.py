@@ -289,9 +289,30 @@ class PMMH(GenericRWHM):
         self.Nx = Nx
         self.resampling = resampling
         self.ESSrmin = ESSrmin
-        # smc_cls/smc_options accepted for API compatibility; the inner
-        # filter always runs through the compiled scan engine
-        del smc_cls, smc_options
+        # reference parity (mcmc.py:424-426): smc_cls / smc_options are
+        # forwarded to the inner filter.  The inner filter always runs
+        # through the compiled scan engine, so we translate the supported
+        # options (qmc -> the SQMC step, resampling, ESSrmin) and raise on
+        # anything else rather than silently running a different algorithm.
+        from particles_tpu import core as _core
+
+        self.qmc = False
+        if smc_cls is not None:
+            if smc_cls is _core.SQMC:
+                self.qmc = True
+            elif smc_cls is not _core.SMC:
+                raise ValueError(
+                    f"PMMH: unsupported smc_cls {smc_cls!r} (use SMC or "
+                    "SQMC)")
+        if smc_options:
+            opts = dict(smc_options)
+            self.qmc = bool(opts.pop("qmc", self.qmc))
+            self.resampling = opts.pop("resampling", self.resampling)
+            self.ESSrmin = opts.pop("ESSrmin", self.ESSrmin)
+            if opts:
+                raise ValueError(
+                    "PMMH: unsupported smc_options "
+                    f"{sorted(opts)} (supported: qmc, resampling, ESSrmin)")
         super().__init__(niter=niter, verbose=verbose, theta0=theta0,
                          adaptive=adaptive, scale=scale, rw_cov=rw_cov,
                          key=key, seed=seed)
@@ -303,13 +324,15 @@ class PMMH(GenericRWHM):
         import particles_tpu as particles
 
         fk = self.fk_cls(ssm=self.ssm_cls(**theta), data=self.data)
-        return particles.SMC(fk=fk, N=self.Nx, key=key, collect="off")
+        return particles.SMC(fk=fk, N=self.Nx, key=key, collect="off",
+                             qmc=self.qmc, resampling=self.resampling,
+                             ESSrmin=self.ESSrmin)
 
     def _pf_logLt(self, key, theta):
         fk = self.fk_cls(ssm=self.ssm_cls(**theta), data=self.data)
         T = self.data.shape[0]
         carry, _, _ = core._run_full(
-            fk, key, self.Nx, T, False, self.resampling, self.ESSrmin,
+            fk, key, self.Nx, T, self.qmc, self.resampling, self.ESSrmin,
             None, False,
         )
         return carry.logLt

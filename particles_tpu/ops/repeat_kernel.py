@@ -39,8 +39,10 @@ Gating inside the kernel: a j served by an earlier block fails
 ``j >= prev_last``; one served by a later block sees all rows below so
 the z-row select leaves INT32_MAX and the one-hot never fires (the
 contribution is the 0.0 default).  Inputs of any 1-D length are
-zero-padded to a block multiple; float32/int32 (N,) and (N, d<=3) cases
-route here (other shapes fall back to ``jnp.repeat``).
+zero-padded to a block multiple; float32/int32 (N,) and single-column
+(N, 1) payloads route here (wider payloads fall back to ``jnp.repeat``,
+whose 2-D row form is cheaper than per-column kernel calls — see
+``_MAX_COLS``).
 """
 
 from __future__ import annotations
@@ -232,9 +234,10 @@ def _leaf_routable(x, N):
 def repeat_with_plan(plan, x):
     """Apply a :class:`RepeatPlan` to one payload array.
 
-    Routes (N,) and (N, d<=3) float32/int32 payloads through the Pallas
-    kernel (columns share the plan); anything else falls back to
-    ``jnp.repeat`` with counts recovered from ``plan.z``.
+    Routes (N,) and (N, d <= _MAX_COLS) float32/int32 payloads through the
+    Pallas kernel (columns share the plan); anything else falls back to
+    ``jnp.repeat`` with counts recovered from ``plan.z`` (measured cheaper
+    for multi-column payloads — XLA's 2-D row-repeat amortises).
     """
     N = plan.z.shape[0]
     if not _leaf_routable(x, N):

@@ -76,13 +76,17 @@ def ring_systematic_resample(x_loc, lw_loc, u, M, axis, D):
         jnp.floor(M * prefix / S - u).astype(jnp.int32) + 1, 0, M)
     zb = zb.at[0].set(0)
     zb_ext = jnp.concatenate([zb, jnp.full((1,), M, jnp.int32)])
-    # local global-z; last entry pinned to the shared boundary so shard
-    # ranges tile [0, M) exactly (float association cannot split an output)
+    # local global-z, then clamp AFTER the monotonising max-scan to the
+    # shard's shared upper boundary (and pin the last entry to it): a
+    # float32-rounding interior z exceeding the boundary cannot propagate
+    # past it, so shard ranges tile [0, M) exactly even when
+    # prefix[d] + cum_loc[k] and prefix[d+1] differ in float association
     z_loc = jnp.clip(
         jnp.floor(M * (prefix[d] + cum_loc) / S - u).astype(jnp.int32) + 1,
         0, M)
+    z_loc = jnp.minimum(jax.lax.associative_scan(jnp.maximum, z_loc),
+                        zb_ext[d + 1])
     z_loc = z_loc.at[-1].set(zb_ext[d + 1])
-    z_loc = jax.lax.associative_scan(jnp.maximum, z_loc)
 
     # ring: rotate each shard's (z, x) block; serve outputs whose global
     # index j falls in the passing block's range [zb[e], zb[e+1])

@@ -820,11 +820,34 @@ class SamplerHistory:
     """History of an SMC sampler run: the ThetaParticles system and Weights
     at each time (counterpart of the reference storing ThetaParticles
     objects in ``ParticleHistory``; samplers have no genealogy use here, so
-    plain per-time lists)."""
+    plain per-time lists).
 
-    def __init__(self):
-        self.X = []
-        self.wgts = []
+    Honors the full ``store_history`` option set (reference
+    smoothing.py:151-161): ``True`` keeps everything, an int ``k`` keeps a
+    rolling window of the k most recent systems, a callable ``f(t)`` saves
+    only at times where it is true (``times`` records which).
+    """
+
+    def __init__(self, option=True):
+        from collections import deque
+
+        self._save_if = None
+        self.times = []
+        if option is True:
+            self.X, self.wgts = [], []
+        elif isinstance(option, int) and not isinstance(option, bool) \
+                and option >= 1:
+            self.X = deque([], option)
+            self.wgts = deque([], option)
+            self.times = deque([], option)
+        elif callable(option):
+            self.X, self.wgts = [], []
+            self._save_if = option
+        else:
+            raise ValueError(
+                f"store_history: invalid option {option!r} for an SMC "
+                "sampler (use True, a window length k >= 1, or a callable "
+                "t -> bool)")
 
     @property
     def T(self):
@@ -833,6 +856,12 @@ class SamplerHistory:
     def save(self, X, wgts):
         self.X.append(X)
         self.wgts.append(wgts)
+
+    def save_step(self, t, X, wgts):
+        if self._save_if is None or self._save_if(t):
+            self.X.append(X)
+            self.wgts.append(wgts)
+            self.times.append(t)
 
 
 def sampler_next(smc):
@@ -871,10 +900,10 @@ def sampler_next(smc):
     smc.rs_flag = view.rs_flag
     smc.logLt = view.logLt
     smc.loglt = view.loglt
-    if smc.hist_option is True:
+    if smc.hist_option is not False and smc.hist_option is not None:
         if smc.t == 0:
-            smc.hist = SamplerHistory()
-        smc.hist.save(view.X, view.wgts)
+            smc.hist = SamplerHistory(smc.hist_option)
+        smc.hist.save_step(smc.t, view.X, view.wgts)
     if smc.verbose:
         print(fk.summary_format(smc))
     smc.t += 1
@@ -983,7 +1012,16 @@ class SMC2(FKSMCsampler):
 
         self.fk_cls = ssms.Bootstrap if fk_cls is None else fk_cls
         self.ar_to_increase_Nx = ar_to_increase_Nx
-        self.smc_options = smc_options or {}
+        # options forwarded to the inner filters (reference
+        # smc_samplers.py:1081-1088): honor what the vmapped inner step
+        # supports, raise on the rest rather than silently ignoring it
+        opts = dict(smc_options or {})
+        self.inner_resampling = opts.pop("resampling", "systematic")
+        self.inner_ESSrmin = float(opts.pop("ESSrmin", 0.5))
+        if opts:
+            raise ValueError(
+                f"SMC2: unsupported smc_options {sorted(opts)} "
+                "(supported: resampling, ESSrmin)")
 
     @property
     def T(self):
@@ -1000,8 +1038,9 @@ class SMC2(FKSMCsampler):
         Nx = xs.shape[0]
         k_rs, k_m = jax.random.split(key)
         wgts = rs.Weights(lws)
-        rs_flag = wgts.ESS < 0.5 * Nx
-        counts = rs.resampling_counts("systematic", k_rs, wgts.W, M=Nx)
+        rs_flag = wgts.ESS < self.inner_ESSrmin * Nx
+        counts = rs.resampling_counts(self.inner_resampling, k_rs, wgts.W,
+                                      M=Nx)
         xs_res = jnp.repeat(xs, counts, axis=0, total_repeat_length=Nx)
         xs_sel = jnp.where(rs_flag, xs_res, xs)
         lw_sel = jnp.where(rs_flag, jnp.zeros(Nx), lws)

@@ -416,3 +416,36 @@ class TestCheckpointResume:
         next(pf)
         with pytest.raises(NotImplementedError):
             pf.save_state("/tmp/nope2.pkl")
+
+
+class TestMultiSMCHistoryOptions:
+    """Regression (round 3): multiSMC must honor rolling/partial history
+    options rather than silently degrading them to a full (T, N) stack."""
+
+    def test_rolling_window(self, lg_setup):
+        from particles_tpu import smoothing
+
+        ssm, y, _ = lg_setup
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        out = particles.multiSMC(fk=fk, N=64, nruns=2, store_history=3,
+                                 seed=0)
+        assert len(out) == 2
+        for r in out:
+            h = r["output"].hist
+            assert isinstance(h, smoothing.RollingParticleHistory)
+            assert h.T == 3  # exactly the window, not the full horizon
+            assert h.X[0].shape == (64,)
+
+    def test_partial_save_times(self, lg_setup):
+        from particles_tpu import smoothing
+
+        ssm, y, _ = lg_setup
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        out = particles.multiSMC(
+            fk=fk, N=64, nruns=2, store_history=lambda t: t % 10 == 0,
+            seed=1)
+        T = int(fk.T)
+        for r in out:
+            h = r["output"].hist
+            assert isinstance(h, smoothing.PartialParticleHistory)
+            assert sorted(h.X) == [t for t in range(T) if t % 10 == 0]

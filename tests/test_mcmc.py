@@ -161,3 +161,52 @@ class TestParticleGibbs:
         pg = self._build(niter=20, backward_step=True)
         pg.run()
         assert np.isfinite(np.asarray(pg.chain.theta["rho"])).all()
+
+
+class TestPMMHSmcOptions:
+    """Regression (round 3): PMMH must honor smc_options/smc_cls (the
+    reference forwards them to the inner filter, mcmc.py:424-426) instead
+    of silently running a different algorithm."""
+
+    def test_qmc_inner_filter_runs(self, lg_pmmh_setup):
+        LGfixed, prior, y, post_mean, _ = lg_pmmh_setup
+        m = mcmc.PMMH(
+            ssm_cls=LGfixed, prior=prior, data=y, Nx=64, niter=200,
+            smc_options={"qmc": True}, key=jax.random.key(2),
+        )
+        assert m.qmc
+        m.run()
+        chain = np.asarray(m.chain.theta["rho"])
+        assert np.isfinite(chain).all()
+        assert m.nacc > 0  # the chain moves
+
+    def test_smc_cls_sqmc(self, lg_pmmh_setup):
+        import particles_tpu as particles
+
+        LGfixed, prior, y, *_ = lg_pmmh_setup
+        m = mcmc.PMMH(ssm_cls=LGfixed, prior=prior, data=y, Nx=32,
+                      niter=5, smc_cls=particles.SQMC,
+                      key=jax.random.key(3))
+        assert m.qmc
+        m.run()
+        assert np.isfinite(np.asarray(m.chain.lpost)).all()
+
+    def test_alg_instance_matches_options(self, lg_pmmh_setup):
+        LGfixed, prior, y, *_ = lg_pmmh_setup
+        m = mcmc.PMMH(ssm_cls=LGfixed, prior=prior, data=y, Nx=32,
+                      niter=5, smc_options={"qmc": True,
+                                            "ESSrmin": 0.7})
+        pf = m.alg_instance({"rho": 0.5}, key=jax.random.key(0))
+        assert pf.qmc and pf.ESSrmin == 0.7
+
+    def test_unsupported_option_raises(self, lg_pmmh_setup):
+        LGfixed, prior, y, *_ = lg_pmmh_setup
+        with pytest.raises(ValueError, match="smc_options"):
+            mcmc.PMMH(ssm_cls=LGfixed, prior=prior, data=y, Nx=32,
+                      niter=5, smc_options={"store_history": True})
+
+    def test_unsupported_smc_cls_raises(self, lg_pmmh_setup):
+        LGfixed, prior, y, *_ = lg_pmmh_setup
+        with pytest.raises(ValueError, match="smc_cls"):
+            mcmc.PMMH(ssm_cls=LGfixed, prior=prior, data=y, Nx=32,
+                      niter=5, smc_cls=dict)

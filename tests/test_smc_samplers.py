@@ -384,3 +384,63 @@ class TestSMC2ExchangeAccounting:
         ll_a2 = np.asarray(target(x, key=jax.random.key(10)).loglik)
         assert not np.allclose(ll_a, ll_b)  # fresh randomness per key
         np.testing.assert_allclose(ll_a, ll_a2)  # deterministic given key
+
+
+class TestSamplerHistoryOptions:
+    """Regression (round 3): store_history=int/callable on an SMC sampler
+    must produce a FILLED history (previously returned an empty object)."""
+
+    def test_rolling(self, conj_setup):
+        model, *_ = conj_setup
+        pf = particles.SMC(fk=ssp.IBIS(model=model, len_chain=3), N=50,
+                           store_history=2, key=jax.random.key(0))
+        pf.run()
+        assert pf.hist is not None
+        assert pf.hist.T == 2  # rolling window of the 2 last systems
+        assert list(pf.hist.times) == [pf.t - 2, pf.t - 1]
+        assert np.isfinite(np.asarray(pf.hist.X[-1].theta["mu"])).all()
+
+    def test_callable(self, conj_setup):
+        model, *_ = conj_setup
+        pf = particles.SMC(fk=ssp.IBIS(model=model, len_chain=3), N=50,
+                           store_history=lambda t: t % 2 == 0,
+                           key=jax.random.key(1))
+        pf.run()
+        assert list(pf.hist.times) == [t for t in range(pf.t) if t % 2 == 0]
+        assert len(pf.hist.X) == len(pf.hist.times)
+
+    def test_full_history_unchanged(self, conj_setup):
+        model, *_ = conj_setup
+        pf = particles.SMC(fk=ssp.IBIS(model=model, len_chain=3), N=50,
+                           store_history=True, key=jax.random.key(2))
+        pf.run()
+        assert pf.hist.T == pf.t
+
+
+class TestSMC2SmcOptions:
+    """Regression (round 3): SMC2 smc_options must be honored or raise."""
+
+    def test_supported_options_run(self):
+        true = kalman.LinearGauss(rho=0.8, sigmaX=1.0, sigmaY=0.5)
+        x, y = true.simulate(jax.random.key(0), 8)
+
+        class LGfixed(kalman.LinearGauss):
+            default_params = {
+                "sigmaY": 0.5, "rho": 0.9, "sigmaX": 1.0, "sigma0": None
+            }
+
+        prior = dists.StructDist({"rho": dists.Uniform(a=-0.99, b=0.99)})
+        fk = ssp.SMC2(ssm_cls=LGfixed, prior=prior, data=y, init_Nx=50,
+                      len_chain=3,
+                      smc_options={"resampling": "stratified",
+                                   "ESSrmin": 0.6})
+        pf = particles.SMC(fk=fk, N=50, key=jax.random.key(1))
+        pf.run()
+        assert np.isfinite(float(pf.logLt))
+
+    def test_unsupported_option_raises(self):
+        prior = dists.StructDist({"rho": dists.Uniform(a=-0.99, b=0.99)})
+        with pytest.raises(ValueError, match="smc_options"):
+            ssp.SMC2(ssm_cls=kalman.LinearGauss, prior=prior,
+                     data=np.zeros(4, np.float32), init_Nx=10,
+                     smc_options={"qmc": True})
