@@ -12,6 +12,16 @@ marginal cost of a resampling step, the effective resampling bandwidth
 traffic of the repeat move) and its fraction of the v5e HBM roofline
 (~819 GB/s).
 
+Round 3 adds the two production-relevant secondary metrics (VERDICT r2):
+
+* ``multirun_*`` — a vmapped batch of independent filters (the multiSMC
+  axis: many replicates on one chip, the deployment shape for likelihood
+  studies / outer-loop inference), 8 runs x N=2^17, same T;
+* ``sqmc_*`` — the SQMC engine (Sobol + Hilbert-ordered gather-free
+  resampling) at N=2^20 on a shorter horizon (the per-step cost is
+  horizon-independent; T=200 keeps one XLA program under the tunnel's
+  ~100 s deadline).
+
 Baseline: the reference (nchopin/particles) cannot run in this image (numba
 is not installed), so the baseline is a faithful NumPy reimplementation of
 its vectorised hot loop — numpy array ops for M/logG/weights exactly as the
@@ -151,10 +161,94 @@ def _with_alarm(fn, seconds, retries=1):
     raise last
 
 
+def _timed_multirun(fk, T_steps, nruns, n, reps=2):
+    """Best-of wall time for ``nruns`` vmapped filters at N=n each."""
+    import jax
+    import numpy as np
+
+    from particles_tpu import core
+
+    @jax.jit
+    def run(fk, keys):
+        def single(k):
+            carry, _, _ = core._run_full(
+                fk, k, n, T_steps, False, "systematic", ESSRMIN, None,
+                False)
+            return carry.logLt
+
+        return jax.vmap(single)(keys)
+
+    keys = jax.random.split(jax.random.key(0), nruns)
+    vals = np.asarray(run(fk, keys))  # compile + warmup (forces values)
+    assert np.isfinite(vals).all()
+    elapsed = float("inf")
+    for r in range(1, reps + 1):
+        keys = jax.random.split(jax.random.key(r), nruns)
+        start = time.perf_counter()
+        vals = np.asarray(run(fk, keys))
+        elapsed = min(elapsed, time.perf_counter() - start)
+    assert np.isfinite(vals).all()
+    return elapsed
+
+
+def _timed_sqmc(fk, T_steps, n, reps=2):
+    """Best-of wall time for one full compiled SQMC run."""
+    import jax
+    import numpy as np
+
+    from particles_tpu import core
+
+    @jax.jit
+    def run(fk, key):
+        carry, _, _ = core._run_full(
+            fk, key, n, T_steps, True, "systematic", ESSRMIN, None, False
+        )
+        return carry.logLt
+
+    logLt = float(run(fk, jax.random.key(0)))
+    assert np.isfinite(logLt)
+    elapsed = float("inf")
+    for r in range(1, reps + 1):
+        start = time.perf_counter()
+        logLt = float(run(fk, jax.random.key(r)))
+        elapsed = min(elapsed, time.perf_counter() - start)
+    assert np.isfinite(logLt)
+    return elapsed
+
+
 def measure_device():
     fk = _build(T)
     elapsed = _with_alarm(lambda: _timed_run(fk, T, ESSRMIN), 900)
     out = {"elapsed_s": round(elapsed, 3)}
+
+    # production-shape secondary metrics; each guarded so the headline
+    # still prints if one wedges on the tunnel
+    def multirun():
+        nruns, n = 8, 2 ** 17
+        fk_m = _build(T)
+        el = _timed_multirun(fk_m, T, nruns, n)
+        return {
+            "multirun_config": f"{nruns}x N=2^17 T={T} vmapped",
+            "multirun_elapsed_s": round(el, 3),
+            "multirun_particle_steps_per_sec": round(
+                nruns * n * T / el, 1),
+        }
+
+    def sqmc():
+        Tq = 200
+        fk_q = _build(Tq)
+        el = _timed_sqmc(fk_q, Tq, N)
+        return {
+            "sqmc_config": f"N=2^20 T={Tq}",
+            "sqmc_step_ms": round(el / Tq * 1e3, 3),
+            "sqmc_particle_steps_per_sec": round(N * Tq / el, 1),
+        }
+
+    for name, fn in (("multirun", multirun), ("sqmc", sqmc)):
+        try:
+            out.update(_with_alarm(fn, 600))
+        except Exception as e:  # noqa: BLE001 — keep the headline alive
+            out[name] = f"failed: {type(e).__name__}"
     # per-step anatomy on a short horizon (compile cost stays modest);
     # the headline metric above must still print if the anatomy wedges
     def anatomy():

@@ -59,6 +59,11 @@ class Collector(Pytree):
     # variance estimators): such collectors cannot execute inside the
     # compiled scan, so SMC falls back to step-by-step execution.
     host_side = False
+    # True if the collector is correct under particle sharding (shard_map
+    # execution with a distctx): its reductions must go through the
+    # dist-aware numerics layer (Weights / wmean_and_var) and it must not
+    # walk the genealogy or keep per-particle state across steps.
+    dist_safe = False
 
     @property
     def summary_name(self):
@@ -80,6 +85,7 @@ class ESSs(Collector):
 
     summary_name = "ESSs"
     uses_genealogy = False
+    dist_safe = True
 
     def collect(self, view):
         return view.wgts.ESS
@@ -90,6 +96,7 @@ class LogLts(Collector):
 
     summary_name = "logLts"
     uses_genealogy = False
+    dist_safe = True
 
     def collect(self, view):
         return view.logLt
@@ -100,6 +107,7 @@ class Rs_flags(Collector):
 
     summary_name = "rs_flags"
     uses_genealogy = False
+    dist_safe = True
 
     def collect(self, view):
         return view.rs_flag
@@ -113,6 +121,9 @@ class Moments(Collector):
 
     summary_name = "moments"
     uses_genealogy = False
+    # default_moments reduces through the dist-aware wmean_and_var; a
+    # custom mom_func must do the same to remain correct under sharding
+    dist_safe = True
     signature = {"mom_func": None}
 
     def collect(self, view):

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from particles_tpu import collectors
+from particles_tpu import distctx
 from particles_tpu import resampling as rs
 from particles_tpu import utils
 from particles_tpu.utils.struct import Pytree
@@ -190,8 +191,23 @@ def _qmc_reorder(X, extras):
 
 
 def _step0(fk, key, N, qmc, summaries, ESSrmin, constrain=None):
-    """Initial step, with concrete t=0 (outside any scan)."""
+    """Initial step, with concrete t=0 (outside any scan).
+
+    Under a :mod:`particles_tpu.distctx` context (shard_map execution),
+    ``N`` is the per-shard slice size: model keys are folded with the
+    shard index (the carry key stays replicated), ancestor indices are
+    global, and the view's ``N`` is the global particle count.
+    """
+    dctx = distctx.current()
     k0, k_col, knext = jax.random.split(key, 3)
+    if dctx is not None:
+        if qmc:
+            raise NotImplementedError(
+                "SQMC under particle sharding is not supported (needs a "
+                "global Hilbert sort per step)")
+        shard = jax.lax.axis_index(dctx.axis)
+        k0 = jax.random.fold_in(k0, shard)
+        k_col = jax.random.fold_in(k_col, shard)
     if qmc:
         from particles_tpu import rqmc
 
@@ -211,6 +227,8 @@ def _step0(fk, key, N, qmc, summaries, ESSrmin, constrain=None):
     loglt = wgts.log_mean
     logLt = loglt
     A = jnp.arange(N, dtype=jnp.int32)
+    if dctx is not None:
+        A = shard * N + A  # global ancestor indices
     view = StepView(
         fk=fk,
         t=jnp.int32(0),
@@ -222,7 +240,7 @@ def _step0(fk, key, N, qmc, summaries, ESSrmin, constrain=None):
         rs_flag=jnp.asarray(False),
         logLt=logLt,
         loglt=loglt,
-        N=N,
+        N=N if dctx is None else N * dctx.D,
         ESSrmin=ESSrmin,
         key=k_col,
     )
@@ -288,8 +306,25 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
     an ancestor gather.  Requires the particle count to be constant across
     steps (true for all filters; waste-free samplers use the
     always-resample path).
+
+    Under a :mod:`particles_tpu.distctx` context (shard_map execution) the
+    SAME code runs per shard on ``N``-sized local slices: the Weights
+    reductions become collectives, the resample branch becomes the ring
+    redistribution (APF logeta rides as a payload), ancestor indices are
+    global, and model keys are folded with the shard index.
     """
+    dctx = distctx.current()
     key, k_rs, k_m, k_col = jax.random.split(carry.key, 4)
+    if dctx is not None:
+        if resampling_scheme != "systematic":
+            raise NotImplementedError(
+                f"resampling scheme {resampling_scheme!r} is not supported "
+                "under particle sharding (the ring redistribution uses "
+                "systematic resampling's analytic z-form)")
+        shard = jax.lax.axis_index(dctx.axis)
+        k_m = jax.random.fold_in(k_m, shard)
+        k_col = jax.random.fold_in(k_col, shard)
+    Ng = N if dctx is None else N * dctx.D
     X, lw = carry.X, carry.lw
     wgts = rs.Weights(lw)
 
@@ -303,11 +338,40 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
 
     pre_view = StepView(
         fk=fk, t=t, X=X, Xp=X, A=None, wgts=wgts, aux=aux,
-        rs_flag=None, logLt=carry.logLt, loglt=None, N=N, ESSrmin=ESSrmin,
+        rs_flag=None, logLt=carry.logLt, loglt=None, N=Ng, ESSrmin=ESSrmin,
     )
     rs_flag = fk.time_to_resample(pre_view)
 
     use_counts = resampling_scheme in rs.rs_counts_funcs
+
+    def do_resample_dist(X, lw):
+        """Resample branch under particle sharding: ring redistribution.
+
+        The shared systematic uniform comes from the replicated k_rs; the
+        APF reset weights follow reference core.py:307-313 with
+        log_mean_exp's reductions global via the dist context and the
+        served logeta payload standing in for rep(logetat).
+        """
+        from particles_tpu.parallel import distributed as dist
+
+        u = jax.random.uniform(k_rs, ())
+        payload = {"x": X}
+        if fk.isAPF:
+            payload["eta"] = logetat
+        if need_gen:
+            served, A = dist.ring_systematic_resample(
+                payload, aux.lw, u, Ng, dctx.axis, dctx.D,
+                return_ancestors=True)
+        else:
+            served = dist.ring_systematic_resample(
+                payload, aux.lw, u, Ng, dctx.axis, dctx.D)
+            A = shard * N + jnp.arange(N, dtype=jnp.int32)
+        Xp = served["x"]
+        if fk.isAPF:
+            reset_lw = rs.log_mean_exp(logetat, W=wgts.W) - served["eta"]
+        else:
+            reset_lw = jnp.zeros(N, dtype=lw.dtype)
+        return Xp, reset_lw, A
 
     def do_resample(X, lw):
         if use_counts:
@@ -338,9 +402,14 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
         return Xp, reset_lw, A
 
     def no_resample(X, lw):
-        return X, lw, jnp.arange(N, dtype=jnp.int32)
+        A = jnp.arange(N, dtype=jnp.int32)
+        if dctx is not None:
+            A = shard * N + A
+        return X, lw, A
 
-    Xp, lw, A = jax.lax.cond(rs_flag, do_resample, no_resample, X, lw)
+    Xp, lw, A = jax.lax.cond(
+        rs_flag, do_resample_dist if dctx is not None else do_resample,
+        no_resample, X, lw)
 
     X_new = fk.M(k_m, t, Xp)
     lw_new = lw + fk.logG(t, Xp, X_new)
@@ -356,7 +425,7 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
 
     view = StepView(
         fk=fk, t=t, X=X_new, Xp=Xp, A=A, wgts=new_wgts, aux=aux,
-        rs_flag=rs_flag, logLt=logLt, loglt=loglt, N=N, ESSrmin=ESSrmin,
+        rs_flag=rs_flag, logLt=logLt, loglt=loglt, N=Ng, ESSrmin=ESSrmin,
         key=k_col,
     )
     if summaries is not None:
@@ -861,44 +930,11 @@ class SMC:
         )
 
     def _hist_spec(self, T):
-        """Map the store_history option to the engine's history argument:
-        bool passes through; rolling k / partial callable become a static
-        ("slots", slot_of_t, nslots) ring spec (slot assignments are known
-        at trace time since T is static)."""
-        opt = self.hist_option
-        if isinstance(opt, bool):
-            return opt
-        if isinstance(opt, int):
-            kk = min(opt, T)
-            return ("slots", tuple(t % kk for t in range(T)), kk)
-        times = tuple(t for t in range(T) if opt(t))
-        nslots = len(times) + 1  # last slot = scratch for unsaved steps
-        lookup = {t: i for i, t in enumerate(times)}
-        return ("slots", tuple(lookup.get(t, nslots - 1) for t in range(T)),
-                nslots)
+        return _hist_spec(self.hist_option, T)
 
     def _install_windowed_hist(self, hist, T):
         """Rebuild the rolling/partial history object from the scan ring."""
-        from particles_tpu import smoothing
-
-        opt = self.hist_option
-        take = lambda tree, i: jax.tree_util.tree_map(  # noqa: E731
-            lambda leaf: leaf[i], tree)
-        X_ring, A_ring, lw_ring = hist
-        if isinstance(opt, int):
-            kk = min(opt, T)
-            h = smoothing.RollingParticleHistory(opt)
-            for i in range(kk):
-                slot = (T - kk + i) % kk  # time order
-                h.X.append(take(X_ring, slot))
-                h.A.append(A_ring[slot])
-                h.wgts.append(rs.Weights(lw_ring[slot]))
-        else:
-            h = smoothing.PartialParticleHistory(opt)
-            times = [t for t in range(T) if opt(t)]
-            for i, t in enumerate(times):
-                h.X[t] = take(X_ring, i)
-                h.wgts[t] = rs.Weights(lw_ring[i])
+        h = _windowed_hist_from_ring(self.hist_option, hist, T)
         self.hist = h
         self._hist_obj = h
 
@@ -937,6 +973,48 @@ class SMC:
                                         hilbert_ordered=self.qmc)
         elif isinstance(hist_spec, tuple):
             self._install_windowed_hist(hist, T)
+
+
+def _hist_spec(opt, T):
+    """Map the store_history option to the engine's history argument:
+    bool passes through; rolling k / partial callable become a static
+    ("slots", slot_of_t, nslots) ring spec (slot assignments are known
+    at trace time since T is static)."""
+    if isinstance(opt, bool):
+        return opt
+    if isinstance(opt, int):
+        kk = min(opt, T)
+        return ("slots", tuple(t % kk for t in range(T)), kk)
+    times = tuple(t for t in range(T) if opt(t))
+    nslots = len(times) + 1  # last slot = scratch for unsaved steps
+    lookup = {t: i for i, t in enumerate(times)}
+    return ("slots", tuple(lookup.get(t, nslots - 1) for t in range(T)),
+            nslots)
+
+
+def _windowed_hist_from_ring(opt, hist, T):
+    """Rebuild a rolling/partial history object from the engine's scan
+    ring output (shared by ``SMC.run`` and the shard_map driver)."""
+    from particles_tpu import smoothing
+
+    take = lambda tree, i: jax.tree_util.tree_map(  # noqa: E731
+        lambda leaf: leaf[i], tree)
+    X_ring, A_ring, lw_ring = hist
+    if isinstance(opt, int) and not isinstance(opt, bool):
+        kk = min(opt, T)
+        h = smoothing.RollingParticleHistory(opt)
+        for i in range(kk):
+            slot = (T - kk + i) % kk  # time order
+            h.X.append(take(X_ring, slot))
+            h.A.append(A_ring[slot])
+            h.wgts.append(rs.Weights(lw_ring[slot]))
+    else:
+        h = smoothing.PartialParticleHistory(opt)
+        times = [t for t in range(T) if opt(t)]
+        for i, t in enumerate(times):
+            h.X[t] = take(X_ring, i)
+            h.wgts[t] = rs.Weights(lw_ring[i])
+    return h
 
 
 _runner_cache = {}

@@ -16,13 +16,23 @@ PAPERS.md):
   static hops of N/D particles, so the worst-case traffic equals one
   all-gather but the memory high-water stays at 2 N/D per shard and every
   shape is static.  Each hop serves the outputs whose global ancestor index
-  falls in the passing block (a local sorted search — Pallas-ready).
+  falls in the passing block — a shard-local repeat-by-z, routed through
+  the engine's Pallas visit-plan kernel on TPU.
 
 Cross-shard consistency of the z boundaries is exact by construction: all
 shards compute the same (D,) prefix table from the same all-gathered sums,
-and each shard's last local z is overwritten with the shared boundary
-value, so the per-shard source ranges tile [0, M) with no gaps or double
-serves even under float32 reduction-order differences.
+and each shard's z is clamped to (and its last entry pinned at) the shared
+boundary value AFTER the monotonising scan, so the per-shard source ranges
+tile [0, M) with no gaps or double serves even under float32
+reduction-order differences.
+
+Since round 3 there is ONE engine: :func:`run_shardmap_smc` executes
+``core._run_full`` itself inside shard_map under a
+:mod:`particles_tpu.distctx` context, so bootstrap / guided / APF models,
+adaptive resampling, collectors and history all behave exactly as on a
+single device (APF auxiliary weights follow reference core.py:307-313 with
+the logeta payload riding the ring).  SQMC and genealogy-crossing
+collectors are explicitly rejected rather than silently approximated.
 
 The reference has no counterpart (its parallelism is a communication-free
 joblib pool, utils.py:158-186); this module is the TPU-native deliverable
@@ -34,6 +44,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
+
+from particles_tpu import distctx
 
 __all__ = ["ring_systematic_resample", "run_shardmap_smc"]
 
@@ -52,7 +64,32 @@ def _shard_map(f, mesh, in_specs, out_specs):
                     check_rep=False)
 
 
-def ring_systematic_resample(x_loc, lw_loc, u, M, axis, D):
+def _serve_fn(z_blk, d, Nloc):
+    """Local repeat-by-z for one passing block: a function mapping a
+    payload (leading dim Nloc) to ``Y[j_loc] = X[#{k: z_blk_k <= j}]``
+    with ``j = d*Nloc + j_loc``.
+
+    Restated on local indices (``z' = clip(z_blk - d*Nloc, 0, Nloc)``,
+    last entry pinned to Nloc) this is exactly the engine's repeat-by-z
+    problem, so it shares :func:`particles_tpu.ops.make_repeat_plan`: the
+    Pallas visit-list kernel on TPU, counts + ``jnp.repeat`` elsewhere.
+    The mapping agrees with ``searchsorted(z_blk, j, 'right')`` for every
+    SERVED output (outputs outside the block's range are masked by the
+    caller, so their values are irrelevant).
+    """
+    from particles_tpu import ops
+
+    zp = jnp.clip(z_blk - d * Nloc, 0, Nloc).at[-1].set(Nloc)
+    plan = ops.make_repeat_plan(zp, Nloc)
+    if plan is None:
+        counts = jnp.diff(zp, prepend=jnp.zeros(1, jnp.int32))
+        return lambda leaf: jnp.repeat(leaf, counts, axis=0,
+                                       total_repeat_length=Nloc)
+    return lambda leaf: ops.repeat_with_plan(plan, leaf)
+
+
+def ring_systematic_resample(x_loc, lw_loc, u, M, axis, D,
+                             return_ancestors=False):
     """Systematic resampling of globally-M particles sharded over ``axis``.
 
     Must be called INSIDE shard_map.  ``x_loc`` is a pytree of local
@@ -60,7 +97,9 @@ def ring_systematic_resample(x_loc, lw_loc, u, M, axis, D):
     ``u`` the shared systematic uniform (identical on every shard), ``D``
     the static axis size.  Returns the redistributed local particles (the
     same global result as the single-device z-form counts path, sorted
-    ancestors).
+    ancestors); with ``return_ancestors=True`` returns ``(y, A)`` where
+    ``A`` is this shard's (N/D,) slice of the GLOBAL sorted ancestor
+    vector.
     """
     Nloc = lw_loc.shape[0]
     d = jax.lax.axis_index(axis)
@@ -92,42 +131,89 @@ def ring_systematic_resample(x_loc, lw_loc, u, M, axis, D):
     # index j falls in the passing block's range [zb[e], zb[e+1])
     j = d * Nloc + jnp.arange(Nloc, dtype=jnp.int32)
     y0 = jax.tree_util.tree_map(lambda a: jnp.zeros_like(a), x_loc)
+    A0 = jnp.zeros((Nloc,), jnp.int32)
+    iota = jnp.arange(Nloc, dtype=jnp.int32)
     perm = [(i, (i + 1) % D) for i in range(D)]
 
     def body(s, carry):
-        y, z_blk, x_blk = carry
+        y, A, z_blk, x_blk = carry
         e = (d - s) % D  # origin shard of the block currently held
         lo = zb_ext[e]
         hi = zb_ext[e + 1]
         served = (j >= lo) & (j < hi)
-        idx = jnp.clip(
-            jnp.searchsorted(z_blk, j, side="right").astype(jnp.int32),
-            0, Nloc - 1)
+        rep = _serve_fn(z_blk, d, Nloc)
         y = jax.tree_util.tree_map(
             lambda acc, xb: jnp.where(
                 served.reshape((-1,) + (1,) * (acc.ndim - 1)),
-                jnp.take(xb, idx, axis=0), acc),
+                rep(xb), acc),
             y, x_blk)
+        if return_ancestors:
+            A = jnp.where(served, e * Nloc + rep(iota), A)
         z_blk = jax.lax.ppermute(z_blk, axis, perm)
         x_blk = jax.tree_util.tree_map(
             lambda a: jax.lax.ppermute(a, axis, perm), x_blk)
-        return y, z_blk, x_blk
+        return y, A, z_blk, x_blk
 
-    y, _, _ = jax.lax.fori_loop(0, D, body, (y0, z_loc, x_loc))
-    return y
+    carry = (y0, A0, z_loc, x_loc)
+    if D <= 16:
+        # unrolled (D is small and static): lets XLA overlap each hop's
+        # ppermute with the next hop's serve
+        for s in range(D):
+            carry = body(s, carry)
+    else:
+        carry = jax.lax.fori_loop(0, D, body, carry)
+    y, A, _, _ = carry
+    return (y, A) if return_ancestors else y
+
+
+def _hist_prefix_spec(hist_spec, axis):
+    """out_specs prefix for the engine's history output."""
+    if hist_spec is False:
+        return P()
+    # full: (X, A, lw) stacked (T, Nloc, ...); windowed: same-shape ring
+    return P(None, axis)
 
 
 def run_shardmap_smc(fk, N, key=None, mesh=None, axis="particles",
-                     ESSrmin=0.5):
-    """Whole bootstrap/guided filter inside shard_map over ``axis``.
+                     resampling="systematic", ESSrmin=0.5, qmc=False,
+                     collect=None, store_history=False):
+    """Run the FULL SMC engine inside shard_map over ``axis``.
 
-    Explicit-collective twin of ``run_sharded_smc``: two scalar
-    all-reduces per step, ring redistribution at adaptive resampling
-    steps, shard-local moves with shard-folded keys (the shared systematic
-    uniform is derived from the global key + t so every shard draws the
-    same u).  Returns an ``SMCResult`` with stacked ESSs/logLts/rs_flags.
+    One engine, shardable: this executes ``core._run_full`` — the same
+    step0 + ``lax.scan`` program as ``SMC.run()`` — inside ``shard_map``
+    under a :mod:`particles_tpu.distctx` context, so every feature of the
+    single-device engine behaves identically under particle sharding:
+
+    * bootstrap / guided / **APF** models (auxiliary weights and the
+      reset-weight compensation of reference core.py:307-313; the logeta
+      payload rides the ring),
+    * adaptive-ESS resampling via the ring redistribution (two scalar
+      all-reduces per step otherwise),
+    * collectors (default ESS/logLt/rs_flag + Moments — their reductions
+      become psum collectives via the dist-aware numerics layer),
+    * history (full / rolling / partial), with GLOBAL ancestor indices.
+
+    Explicitly rejected (raise, never silently wrong): ``qmc=True`` (SQMC
+    needs a global Hilbert sort per step — run it on a single device or
+    via the GSPMD path), non-systematic resampling schemes, and collectors
+    that walk the genealogy or keep per-particle state across steps
+    (fixed-lag / on-line smoothers).
+
+    Returns an ``SMCResult`` (with ``.hist`` when history is requested).
     """
+    from particles_tpu import collectors as col
     from particles_tpu import core
+
+    if qmc:
+        raise NotImplementedError(
+            "run_shardmap_smc: SQMC is not supported under particle "
+            "sharding (each step needs a global Hilbert sort); use the "
+            "single-device engine or run_sharded_smc")
+    if resampling != "systematic":
+        raise NotImplementedError(
+            f"run_shardmap_smc: resampling scheme {resampling!r} is not "
+            "supported under particle sharding (the ring redistribution "
+            "uses systematic resampling's analytic z-form)")
 
     key = key if key is not None else jax.random.key(0)
     D = int(mesh.shape[axis])
@@ -136,61 +222,46 @@ def run_shardmap_smc(fk, N, key=None, mesh=None, axis="particles",
     Nloc = N // D
     T = int(fk.T)
 
-    def glse(lw):
-        m = jax.lax.pmax(jnp.max(lw), axis)
-        s = jax.lax.psum(jnp.sum(jnp.exp(lw - m)), axis)
-        return m + jnp.log(s)
+    summaries = col.Summaries(collect) if collect != "off" else None
+    if summaries is not None:
+        bad = [c for c in summaries._collectors
+               if not getattr(c, "dist_safe", False)]
+        if bad:
+            raise NotImplementedError(
+                "run_shardmap_smc: collector(s) "
+                f"{[type(c).__name__ for c in bad]} are not supported "
+                "under particle sharding (genealogy-walking / stateful "
+                "collectors need cross-shard gathers); run them on a "
+                "single device")
 
-    def gess(lw):
-        m = jax.lax.pmax(jnp.max(lw), axis)
-        w = jnp.exp(lw - m)
-        s1 = jax.lax.psum(jnp.sum(w), axis)
-        s2 = jax.lax.psum(jnp.sum(w * w), axis)
-        return s1 * s1 / s2
+    # reuse the engine's history-spec machinery (rolling/partial ring)
+    hist_spec = core._hist_spec(store_history, T)
 
     def local_run(fk, key):
-        d = jax.lax.axis_index(axis)
-        kd = jax.random.fold_in(key, d)
-        x = fk.M0(jax.random.fold_in(kd, 2**31 - 1), Nloc)
-        lw = fk.logG(0, None, x)
-        lmw = glse(lw) - jnp.log(jnp.float32(N))
-        logL0 = lmw
+        with distctx.dist_context(axis, D):
+            return core._run_full(
+                fk, key, Nloc, T, False, resampling, ESSrmin, summaries,
+                hist_spec, None,
+            )
 
-        def body(carry, t):
-            x, lw, logLt, lmw = carry
-            k_u = jax.random.fold_in(key, t)       # shared across shards
-            k_m = jax.random.fold_in(kd, t)        # shard-local
-            ess = gess(lw)
-            rs_flag = ess < ESSrmin * N
-
-            def do_rs(x, lw):
-                u = jax.random.uniform(k_u, ())
-                y = ring_systematic_resample(x, lw, u, N, axis, D)
-                return y, jnp.zeros_like(lw)
-
-            xp, lw2 = jax.lax.cond(rs_flag, do_rs, lambda x, lw: (x, lw),
-                                   x, lw)
-            x_new = fk.M(k_m, t, xp)
-            lw_new = lw2 + fk.logG(t, xp, x_new)
-            new_lmw = glse(lw_new) - jnp.log(jnp.float32(N))
-            loglt = jnp.where(rs_flag, new_lmw, new_lmw - lmw)
-            return ((x_new, lw_new, logLt + loglt, new_lmw),
-                    (ess, logLt + loglt, rs_flag))
-
-        (x, lw, logLt, _), outs = jax.lax.scan(
-            body, (x, lw, logL0, lmw), jnp.arange(1, T, dtype=jnp.int32))
-        return x, lw, logLt, outs
-
-    f = _shard_map(
-        local_run, mesh,
-        in_specs=(P(), P()),
-        out_specs=(P(axis), P(axis), P(), (P(), P(), P())),
-    )
+    carry_spec = core._Carry(key=P(), X=P(axis), lw=P(axis), logLt=P(),
+                             log_mean_w=P(), col_states=P())
+    out_specs = (carry_spec, P(), _hist_prefix_spec(hist_spec, axis))
+    f = _shard_map(local_run, mesh, in_specs=(P(), P()),
+                   out_specs=out_specs)
     with mesh:
-        x, lw, logLt, (ESSs, logLts, rs_flags) = jax.jit(f)(fk, key)
-    res = core.SMCResult(
-        logLt,
-        {"ESSs": ESSs, "logLts": logLts, "rs_flags": rs_flags},
-        X=x, lw=lw,
-    )
+        carry, outs, hist = jax.jit(f)(fk, key)
+
+    names = ([c.summary_name for c in summaries._collectors]
+             if summaries is not None else [])
+    sm = dict(zip(names, outs))
+    res = core.SMCResult(carry.logLt, sm, X=carry.X, lw=carry.lw)
+    if store_history is True:
+        from particles_tpu.smoothing import ParticleHistory
+
+        res.hist = ParticleHistory(fk, *hist)
+    elif isinstance(hist_spec, tuple):
+        res.hist = core._windowed_hist_from_ring(store_history, hist, T)
+    else:
+        res.hist = None
     return res

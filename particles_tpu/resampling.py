@@ -35,6 +35,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from particles_tpu import distctx
+
 __all__ = [
     "Weights",
     "exp_and_normalise",
@@ -97,36 +99,58 @@ def log_sum_exp_ab(la, lb):
     return big + jnp.log1p(jnp.exp(small - big))
 
 
-def log_mean_exp(v, W=None):
-    """log of the (possibly weighted) average of exp(v) (resampling.py:291-317)."""
+def _dist_max(v):
+    """max over the particle axis — cross-shard under a dist context."""
+    ctx = distctx.current()
     m = jnp.max(v)
+    return jax.lax.pmax(m, ctx.axis) if ctx is not None else m
+
+
+def _dist_sum(s):
+    """Reduce an already-locally-summed value across shards (no-op
+    single-device)."""
+    ctx = distctx.current()
+    return jax.lax.psum(s, ctx.axis) if ctx is not None else s
+
+
+def log_mean_exp(v, W=None):
+    """log of the (possibly weighted) average of exp(v) (resampling.py:291-317).
+
+    Under a :mod:`particles_tpu.distctx` context, ``v`` (and ``W``) are the
+    local shard slices and the mean/weighted-sum is global.
+    """
+    ctx = distctx.current()
+    m = _dist_max(v)
     V = jnp.exp(v - m)
     if W is None:
-        return m + jnp.log(jnp.mean(V))
-    return m + jnp.log(jnp.sum(W * V))
+        n = v.shape[0] * (ctx.D if ctx is not None else 1)
+        return m + jnp.log(_dist_sum(jnp.sum(V)) / n)
+    return m + jnp.log(_dist_sum(jnp.sum(W * V)))
 
 
 def wmean_and_var(W, x):
     """Weighted mean and variance along the particle axis (axis 0).
 
     Parity with reference ``wmean_and_var`` (resampling.py:320-338).
-    Returns ``{'mean': m, 'var': v}``.
+    Returns ``{'mean': m, 'var': v}``.  Under a dist context, ``W``/``x``
+    are shard slices of globally-normalised weights and the moments are
+    global (one ``psum`` per reduction).
     """
     if x.ndim == 1:
-        m = jnp.sum(W * x)
-        m2 = jnp.sum(W * x * x)
+        m = _dist_sum(jnp.sum(W * x))
+        m2 = _dist_sum(jnp.sum(W * x * x))
     else:
         Wc = W.reshape((-1,) + (1,) * (x.ndim - 1))
-        m = jnp.sum(Wc * x, axis=0)
-        m2 = jnp.sum(Wc * x * x, axis=0)
+        m = _dist_sum(jnp.sum(Wc * x, axis=0))
+        m2 = _dist_sum(jnp.sum(Wc * x * x, axis=0))
     return {"mean": m, "var": m2 - m * m}
 
 
 def wmean_and_cov(W, x):
     """Weighted mean and covariance of (N, d) particles (resampling.py:341-358)."""
-    m = jnp.sum(W[:, None] * x, axis=0)
+    m = _dist_sum(jnp.sum(W[:, None] * x, axis=0))
     xc = x - m
-    cov = jnp.einsum("n,ni,nj->ij", W, xc, xc)
+    cov = _dist_sum(jnp.einsum("n,ni,nj->ij", W, xc, xc))
     return m, cov
 
 
@@ -196,12 +220,26 @@ class Weights:
             return
         lw = jnp.where(jnp.isnan(lw), -jnp.inf, jnp.asarray(lw))
         self.lw = lw
-        m = jnp.max(lw)
-        w = jnp.exp(lw - m)
-        s = jnp.sum(w)
-        self.log_mean = m + jnp.log(s / lw.shape[0])
-        self.W = w / s
-        self.ESS = 1.0 / jnp.sum(self.W * self.W)
+        ctx = distctx.current()
+        if ctx is None:
+            m = jnp.max(lw)
+            w = jnp.exp(lw - m)
+            s = jnp.sum(w)
+            self.log_mean = m + jnp.log(s / lw.shape[0])
+            self.W = w / s
+            self.ESS = 1.0 / jnp.sum(self.W * self.W)
+        else:
+            # lw is the local shard slice; all derived quantities are
+            # GLOBAL: W is the local slice of globally-normalised weights
+            # (sums to 1 across shards), ESS/log_mean are replicated
+            # scalars.  Two all-reduces (one max, one fused pair of sums).
+            m = jax.lax.pmax(jnp.max(lw), ctx.axis)
+            w = jnp.exp(lw - m)
+            s, s2_pre = jnp.sum(w), jnp.sum(w * w)
+            s, s2 = jax.lax.psum((s, s2_pre), ctx.axis)
+            self.log_mean = m + jnp.log(s / (lw.shape[0] * ctx.D))
+            self.W = w / s
+            self.ESS = s * s / s2
 
     @property
     def N(self):

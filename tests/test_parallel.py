@@ -3,6 +3,7 @@ sharded execution must match single-device execution statistically (same
 algorithm, different layout)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -151,7 +152,8 @@ class TestRingResampling:
                 fk, N=4096, key=jax.random.key(s), mesh=mesh)
             vals.append(float(res.logLt))
             assert res.lw.shape == (4096,)
-            assert res.ESSs.shape[0] == int(fk.T) - 1
+            # unified engine: summaries include step 0 (same as SMC.run)
+            assert res.ESSs.shape[0] == int(fk.T)
         assert abs(np.mean(vals) - exact) < 0.6, (vals, exact)
 
     def test_shardmap_filter_guided(self):
@@ -167,3 +169,129 @@ class TestRingResampling:
                 fk, N=2048, key=jax.random.key(40 + s), mesh=mesh)
             vals.append(float(res.logLt))
         assert abs(np.mean(vals) - exact) < 0.5, (vals, exact)
+
+
+class TestUnifiedShardmapEngine:
+    """Round 3: run_shardmap_smc executes the FULL core engine inside
+    shard_map (one engine, shardable).  Same Kalman-oracle tests as the
+    single-device engine for bootstrap/guided/APF; collectors, history
+    and the documented raises."""
+
+    def _mesh(self):
+        return parallel.make_mesh(8, ("particles",))
+
+    def test_apf_matches_kalman(self):
+        """APF auxiliary weights (reference core.py:307-313) under
+        sharding: previously this silently ran as a guided filter."""
+        ssm, y, exact = setup_lg()
+        mesh = self._mesh()
+        for fkc in (ssms.AuxiliaryPF, ssms.AuxiliaryBootstrap):
+            fk = fkc(ssm=ssm, data=y)
+            assert fk.isAPF
+            vals = []
+            for s in range(3):
+                res = parallel.run_shardmap_smc(
+                    fk, N=2048, key=jax.random.key(60 + s), mesh=mesh)
+                vals.append(float(res.logLt))
+            assert abs(np.mean(vals) - exact) < 0.6, (fkc.__name__, vals)
+
+    def test_moments_collector_matches_single_device(self):
+        from particles_tpu import collectors as col
+
+        ssm, y, _ = setup_lg()
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        mesh = self._mesh()
+        res = parallel.run_shardmap_smc(
+            fk, N=1024, key=jax.random.key(7), mesh=mesh,
+            collect=[col.Moments()])
+        pf = particles.SMC(fk=fk, N=1024, key=jax.random.key(3),
+                           collect=[col.Moments()])
+        pf.run()
+        dm = np.asarray(res.moments["mean"])
+        sm = np.asarray(pf.summaries.moments["mean"])
+        assert dm.shape == sm.shape
+        # different keys: agreement within Monte-Carlo error
+        assert np.abs(dm - sm).max() < 0.25
+
+    def test_history_full_with_global_genealogy(self):
+        ssm, y, _ = setup_lg()
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        res = parallel.run_shardmap_smc(
+            fk, N=1024, key=jax.random.key(9), mesh=self._mesh(),
+            store_history=True)
+        T = int(fk.T)
+        assert res.hist.X.shape == (T, 1024)
+        A = np.asarray(res.hist.A)
+        assert A.shape == (T, 1024) and A.min() >= 0 and A.max() < 1024
+        # the history is consumable by the smoothing layer (global indices)
+        traj = res.hist.backward_sampling_mcmc(jax.random.key(0), 4)
+        assert traj.shape == (T, 4)
+        assert np.isfinite(np.asarray(traj)).all()
+
+    def test_history_rolling_and_partial(self):
+        from particles_tpu import smoothing
+
+        ssm, y, _ = setup_lg()
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        mesh = self._mesh()
+        res = parallel.run_shardmap_smc(
+            fk, N=512, key=jax.random.key(1), mesh=mesh, store_history=4)
+        assert isinstance(res.hist, smoothing.RollingParticleHistory)
+        assert res.hist.T == 4 and res.hist.X[0].shape == (512,)
+        res2 = parallel.run_shardmap_smc(
+            fk, N=512, key=jax.random.key(1), mesh=mesh,
+            store_history=lambda t: t % 5 == 0)
+        assert isinstance(res2.hist, smoothing.PartialParticleHistory)
+        assert sorted(res2.hist.X) == [t for t in range(int(fk.T))
+                                       if t % 5 == 0]
+
+    def test_documented_raises(self):
+        from particles_tpu import collectors as col
+
+        ssm, y, _ = setup_lg()
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        mesh = self._mesh()
+        with pytest.raises(NotImplementedError, match="SQMC"):
+            parallel.run_shardmap_smc(fk, N=512, mesh=mesh, qmc=True)
+        with pytest.raises(NotImplementedError, match="resampling"):
+            parallel.run_shardmap_smc(fk, N=512, mesh=mesh,
+                                      resampling="multinomial")
+        with pytest.raises(NotImplementedError, match="collector"):
+            parallel.run_shardmap_smc(
+                fk, N=512, mesh=mesh,
+                collect=[col.Online_smooth_naive(phi=lambda x: x)])
+
+    def test_single_device_engine_unchanged(self):
+        """No ambient context: the dist-aware numerics reduce locally, so
+        the single-device engine is bit-identical to a plain run."""
+        from particles_tpu import distctx
+
+        assert distctx.current() is None
+        ssm, y, _ = setup_lg()
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        pf1 = particles.SMC(fk=fk, N=256, key=jax.random.key(5))
+        pf1.run()
+        pf2 = particles.SMC(fk=fk, N=256, key=jax.random.key(5))
+        pf2.run()
+        assert float(pf1.logLt) == float(pf2.logLt)
+
+
+class TestPallasNeverUnderGSPMD:
+    """Guardrail (VERDICT r2 #7): the GSPMD path must never trace a
+    pallas_call into a partitioned program — GSPMD cannot partition
+    custom-calls, so this would be a multichip crash."""
+
+    def test_sharded_run_never_builds_repeat_plan(self, monkeypatch):
+        from particles_tpu import ops
+
+        def boom(*a, **k):
+            raise AssertionError(
+                "make_repeat_plan traced under GSPMD sharding")
+
+        monkeypatch.setattr(ops, "make_repeat_plan", boom)
+        ssm, y, exact = setup_lg()
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        mesh = parallel.make_mesh(8, ("particles",))
+        res, _ = parallel.run_sharded_smc(
+            fk, N=1024, key=jax.random.key(0), mesh=mesh)
+        assert abs(float(res.logLt) - exact) < 1.0
