@@ -36,7 +36,10 @@ def main(small=False, leverage=None):
     if leverage is None:
         leverage = not small  # book parity: SV with leverage
     ssm_cls = ssms.StochVolLeverage if leverage else ssms.StochVol
-    Ntheta = 60 if small else 500
+    # full config = the reference's headline study: Ntheta=10^3 over the
+    # whole T=751 series (book/smc2/smc2_stochvol_leverage.py:14-16,
+    # quoted at ~2 h per run on one CPU core)
+    Ntheta = 60 if small else 1000
     init_Nx = 30 if small else 100
     print(f"GBP/USD log-returns: T={y.shape[0]} "
           f"({'synthetic surrogate' if ds.synthetic else 'real data'}), "
