@@ -485,7 +485,7 @@ def _step_qmc(fk, carry, t, N, ESSrmin, summaries, constrain=None,
     cs = cs / cs[-1]
     z = rs._merge_rank_counts(su, cs, N)
     z = z.at[-1].set(N)
-    z = jax.lax.associative_scan(jnp.maximum, z)
+    z = rs._monotone_z(z)
     Xp, rep = _repeat_z(X, z, N, use_pallas=use_pallas)
     # ancestor indices are only materialised when something consumes the
     # genealogy (history, genealogy-reading collectors); need_gen is static

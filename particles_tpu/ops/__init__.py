@@ -5,6 +5,7 @@ v3 dynamic boundary-row fori) were removed in round 2; their post-mortems
 live in CLAUDE.md ("Mosaic wants statically scheduled dense tiles").
 """
 
+from particles_tpu.ops.cummax_kernel import running_max  # noqa: F401
 from particles_tpu.ops.merge_rank_kernel import merge_rank_counts  # noqa: F401
 from particles_tpu.ops.repeat_kernel import (  # noqa: F401
     make_repeat_plan,

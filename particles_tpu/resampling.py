@@ -506,6 +506,18 @@ def resampling_z(scheme, key, W, M=None):
     return jnp.cumsum(counts.astype(jnp.int32))
 
 
+def _monotone_z(z):
+    """Enforce the nondecreasing z contract (running max).
+
+    Pallas streaming kernel on TPU (~0.2 ms at 2^20 vs ~1.5 ms for
+    XLA's associative_scan — measured round 3); associative_scan
+    elsewhere.  See ops/cummax_kernel.py for why this is mandatory.
+    """
+    from particles_tpu.ops import running_max
+
+    return running_max(z)
+
+
 def _normalised_cumsum(W):
     cs = jnp.cumsum(W)
     return cs / cs[-1]
@@ -519,7 +531,12 @@ def systematic_z(key, W, M):
     u = jax.random.uniform(key, ())
     cs = _normalised_cumsum(W)
     z = jnp.clip(jnp.floor(M * cs - u).astype(jnp.int32) + 1, 0, M)
-    return z.at[-1].set(M)  # guard rounding at the top
+    z = z.at[-1].set(M)  # guard rounding at the top
+    # XLA's parallel cumsum is not association-monotone: cs can dip by an
+    # ulp, which here shows up as z dipping by 1 (a nonsense -1 offspring
+    # count).  Enforce the documented nondecreasing contract (stratified_z
+    # and multinomial_z already do).
+    return _monotone_z(z)
 
 
 @resampling_counts_scheme
@@ -543,7 +560,7 @@ def stratified_z(key, W, M):
     z = jnp.where(k >= M, M, k + (uk <= frac).astype(jnp.int32))
     z = jnp.clip(z, 0, M)
     z = z.at[-1].set(M)  # guard rounding at the top
-    return jax.lax.associative_scan(jnp.maximum, z)  # enforce monotone
+    return _monotone_z(z)
 
 
 @resampling_counts_scheme
@@ -596,7 +613,7 @@ def multinomial_z(key, W, M):
     cs = _normalised_cumsum(W)
     z = _merge_rank_counts(su, cs, M)
     z = z.at[-1].set(M)
-    return jax.lax.associative_scan(jnp.maximum, z)
+    return _monotone_z(z)
 
 
 @resampling_counts_scheme
@@ -630,7 +647,7 @@ def residual_counts(key, W, M):
     zr = _merge_rank_counts(su, cs, M)
     zr = jnp.minimum(zr, sres)
     zr = zr.at[-1].set(jnp.clip(sres, 0, M))
-    zr = jax.lax.associative_scan(jnp.maximum, zr)
+    zr = _monotone_z(zr)
     res_counts = jnp.diff(zr, prepend=jnp.zeros(1, jnp.int32))
     return intpart + res_counts
 

@@ -420,3 +420,29 @@ class TestRepeatKernels:
             rk._on_tpu = orig_on_tpu
             rk._repeat_pallas.clear_cache()
 
+
+
+class TestZFormMonotonicity:
+    """Round 3: resampling_z documents a NONDECREASING z, but XLA's
+    parallel f32 cumsum is not association-monotone — at N~1e6 the raw
+    analytic systematic z dips by 1 at a handful of indices (a nonsense
+    -1 offspring count, and a latent wrong-output hole in the Pallas
+    visit plan when a dip lands on a block boundary).  All z-forms must
+    monotonise."""
+
+    def test_systematic_z_nondecreasing_large(self):
+        import jax
+        import jax.numpy as jnp
+
+        from particles_tpu import resampling as rs
+
+        N = 2**20
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=N).astype(np.float32)
+        lw = -0.5 * (0.3 - 0.9 * x) ** 2 / 0.04
+        W = rs.exp_and_normalise(jnp.asarray(lw))
+        for scheme in ("systematic", "stratified"):
+            z = np.asarray(rs.resampling_z(scheme, jax.random.key(0), W,
+                                           M=N))
+            assert (np.diff(z) >= 0).all(), scheme
+            assert z[-1] == N
