@@ -136,6 +136,45 @@ def _lms_direction_numbers(key, d):
     return Vp
 
 
+def _bitreverse32(x):
+    """Reverse the 32 bits of a uint32 array (5 butterfly steps)."""
+    x = ((x & jnp.uint32(0x55555555)) << 1) | (
+        (x & jnp.uint32(0xAAAAAAAA)) >> 1)
+    x = ((x & jnp.uint32(0x33333333)) << 2) | (
+        (x & jnp.uint32(0xCCCCCCCC)) >> 2)
+    x = ((x & jnp.uint32(0x0F0F0F0F)) << 4) | (
+        (x & jnp.uint32(0xF0F0F0F0)) >> 4)
+    x = ((x & jnp.uint32(0x00FF00FF)) << 8) | (
+        (x & jnp.uint32(0xFF00FF00)) >> 8)
+    return (x << 16) | (x >> 16)
+
+
+def _owen_scramble_ints(ints, seeds):
+    """Nested-uniform (Owen) scramble of Sobol integers, per dimension.
+
+    Hash-based construction (Laine & Karras 2011; Burley 2020, "Practical
+    hash-based Owen scrambling"): in the bit-reversed domain, additions
+    and ``x ^= x * even`` only propagate information UPWARD, so after
+    reversing back every output digit depends only on the MORE significant
+    input digits — exactly the nested-uniform tree, with the per-node
+    random flips supplied by the hash.  Unlike the linear LMS scramble
+    this is nonlinear in GF(2) (a strictly larger randomisation family,
+    stronger variance behaviour on non-smooth integrands); the cost is
+    O(N d) elementwise uint32 ops on the points themselves.
+
+    ``ints``: (N, d) uint32 raw Sobol integers; ``seeds``: (d,) uint32.
+    """
+    x = _bitreverse32(ints)
+    s = seeds[None, :]
+    # Burley's avalanche-quality update chain (all constants even)
+    x = x + s
+    x = x ^ (x * jnp.uint32(0x6C50B47C))
+    x = x ^ (x * jnp.uint32(0xB82F1E52))
+    x = x ^ (x * jnp.uint32(0xC7AFE638))
+    x = x ^ (x * jnp.uint32(0x8D22F6E6))
+    return _bitreverse32(x)
+
+
 def sobol_unscrambled(N, d):
     """Deterministic Sobol points in [0, 1)^d (for tests/debugging)."""
     ints = _sobol_ints(N, d)
@@ -154,12 +193,19 @@ def sobol(key, N, d, scramble="lms_shift"):
     ``sobol``, rqmc.py:14-15, whose scipy backend uses LMS + shift).
 
     ``scramble``: ``"lms_shift"`` (default, matches the reference's
-    randomisation family) or ``"shift"`` (digital shift only — cheaper,
-    still valid RQMC).
+    randomisation family), ``"owen"`` (nested-uniform Owen scrambling via
+    the hash-based construction — a strictly stronger randomisation
+    family, see :func:`_owen_scramble_ints`), or ``"shift"`` (digital
+    shift only — cheaper, still valid RQMC).
     """
     if scramble == "lms_shift":
         k_lms, k_shift = jax.random.split(key)
         ints = _sobol_ints(N, d, V=_lms_direction_numbers(k_lms, d))
+    elif scramble == "owen":
+        seeds = jax.random.bits(key, (d,), dtype=jnp.uint32)
+        ints = _owen_scramble_ints(_sobol_ints(N, d), seeds)
+        return _clamp((ints >> jnp.uint32(8)).astype(jnp.float32)
+                      * (2.0 ** -(_BITS - 8)))
     elif scramble == "shift":
         k_shift = key
         ints = _sobol_ints(N, d)
