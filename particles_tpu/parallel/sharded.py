@@ -101,19 +101,25 @@ def run_sharded_smc(
 ):
     """Run one particle filter with its N particles sharded over ``mesh``.
 
-    Returns ``(result: SMCResult, hist)``.  N must be a multiple of the mesh
-    axis size for an even layout (XLA pads otherwise).
+    Returns ``(result: SMCResult, hist)``; ``result.hist`` carries a
+    ready-to-use history object (ParticleHistory for ``store_history=
+    True``, rolling/partial objects for int/callable options — same as
+    the single-device engine), while the second element keeps the raw
+    stacked ``(X, A, lw)`` frames for back-compatibility (full history
+    only).  N must be a multiple of the mesh axis size for an even layout
+    (XLA pads otherwise).
     """
     key = key if key is not None else jax.random.key(0)
     summaries = col.Summaries(collect) if collect != "off" else None
     constrain = particle_constrain(mesh, axis)
     T = int(fk.T)
+    hist_spec = core._hist_spec(store_history, T)
 
     @jax.jit
     def run(fk, key):
         return core._run_full(
             fk, key, N, T, qmc, resampling, ESSrmin, summaries,
-            store_history, constrain,
+            hist_spec, constrain,
         )
 
     with mesh:
@@ -125,7 +131,15 @@ def run_sharded_smc(
     )
     sm = dict(zip(names, outs))
     res = core.SMCResult(carry.logLt, sm, X=carry.X, lw=carry.lw)
-    return res, (hist if store_history else None)
+    if store_history is True:
+        from particles_tpu.smoothing import ParticleHistory
+
+        res.hist = ParticleHistory(fk, *hist, hilbert_ordered=qmc)
+    elif isinstance(hist_spec, tuple):
+        res.hist = core._windowed_hist_from_ring(store_history, hist, T)
+    else:
+        res.hist = None
+    return res, (hist if store_history is True else None)
 
 
 def run_sharded_multismc(

@@ -295,3 +295,33 @@ class TestPallasNeverUnderGSPMD:
         res, _ = parallel.run_sharded_smc(
             fk, N=1024, key=jax.random.key(0), mesh=mesh)
         assert abs(float(res.logLt) - exact) < 1.0
+
+
+class TestShardedHistoryObjects:
+    """Round 3: the GSPMD driver returns ready-to-use history objects
+    (parity with the shard_map driver and the single-device engine)."""
+
+    def test_full_history_object(self):
+        ssm, y, _ = setup_lg()
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        mesh = parallel.make_mesh(8, ("particles",))
+        res, raw = parallel.run_sharded_smc(
+            fk, N=512, key=jax.random.key(2), mesh=mesh,
+            store_history=True)
+        T = int(fk.T)
+        assert res.hist.X.shape == (T, 512)
+        traj = res.hist.backward_sampling_mcmc(jax.random.key(0), 4)
+        assert np.isfinite(np.asarray(traj)).all()
+        assert raw is not None  # back-compat raw frames
+
+    def test_rolling_history_object(self):
+        from particles_tpu import smoothing
+
+        ssm, y, _ = setup_lg()
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        mesh = parallel.make_mesh(8, ("particles",))
+        res, raw = parallel.run_sharded_smc(
+            fk, N=512, key=jax.random.key(2), mesh=mesh, store_history=3)
+        assert isinstance(res.hist, smoothing.RollingParticleHistory)
+        assert res.hist.T == 3
+        assert raw is None
