@@ -476,10 +476,18 @@ def _step_qmc(fk, carry, t, N, ESSrmin, summaries, constrain=None,
 
     use_pallas = constrain is None
     du = max(fk.du, 1)
-    u = rqmc.sobol(k_u, N, du + 1)
-    sorted_u = jax.lax.sort(
-        tuple(u[:, j] for j in range(du + 1)), num_keys=1
-    )
+    if N & (N - 1) == 0:
+        # power-of-two N: generate the points DIRECTLY in first-coordinate
+        # order (closed-form cell-permutation inverse, rqmc.sobol_sorted0)
+        # — bit-identical to sorting, without the ~2.4 ms multi-operand
+        # lax.sort at N=2^20
+        us = rqmc.sobol_sorted0(k_u, N, du + 1)
+        sorted_u = tuple(us[:, j] for j in range(du + 1))
+    else:
+        u = rqmc.sobol(k_u, N, du + 1)
+        sorted_u = jax.lax.sort(
+            tuple(u[:, j] for j in range(du + 1)), num_keys=1
+        )
     su = sorted_u[0]
     cs = jnp.cumsum(aux.W)
     cs = cs / cs[-1]

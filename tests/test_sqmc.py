@@ -312,3 +312,35 @@ class TestOwenScramble:
         assert not np.allclose(u1, u2)
         # dimensions get independent scrambles (seeds differ)
         assert not np.allclose(u1[:, 0], u1[:, 1])
+
+
+class TestSobolSorted0:
+    """Round 3: closed-form first-coordinate-sorted Sobol generation
+    (no lax.sort) — the SQMC engine's u-sort replacement."""
+
+    def test_bit_exact_vs_sort(self):
+        for N, d, seed in ((256, 5, 2), (1024, 3, 0), (4096, 2, 1)):
+            key = jax.random.key(seed)
+            u = np.asarray(rqmc.sobol(key, N, d))
+            want = u[np.argsort(u[:, 0])]
+            got = np.asarray(rqmc.sobol_sorted0(key, N, d))
+            assert (got == want).all(), (N, d, seed)
+
+    def test_non_power_of_two_raises(self):
+        with pytest.raises(ValueError):
+            rqmc.sobol_sorted0(jax.random.key(0), 1000, 2)
+
+    def test_sqmc_engine_still_exact(self):
+        """SQMC with the sort-free path matches the Kalman oracle."""
+        from particles_tpu import kalman
+        from particles_tpu import state_space_models as ssms
+        import particles_tpu as particles
+
+        ssm = kalman.LinearGauss(rho=0.9, sigmaX=1.0, sigmaY=0.2)
+        x, y = ssm.simulate(jax.random.key(42), 25)
+        kf = kalman.Kalman(ssm=ssm, data=y)
+        kf.filter()
+        pf = particles.SQMC(fk=ssms.GuidedPF(ssm=ssm, data=y), N=1024,
+                            key=jax.random.key(1))
+        pf.run()
+        assert abs(float(pf.logLt) - float(kf.logLt)) < 0.2
