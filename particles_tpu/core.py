@@ -201,17 +201,21 @@ def _step0(fk, key, N, qmc, summaries, ESSrmin, constrain=None):
     dctx = distctx.current()
     k0, k_col, knext = jax.random.split(key, 3)
     if dctx is not None:
-        if qmc:
-            raise NotImplementedError(
-                "SQMC under particle sharding is not supported (needs a "
-                "global Hilbert sort per step)")
         shard = jax.lax.axis_index(dctx.axis)
-        k0 = jax.random.fold_in(k0, shard)
         k_col = jax.random.fold_in(k_col, shard)
+        if not qmc:
+            # the Sobol draw must come from the REPLICATED key (one global
+            # point set, sliced per shard); Monte-Carlo draws fold the
+            # shard in for independence
+            k0 = jax.random.fold_in(k0, shard)
     if qmc:
         from particles_tpu import rqmc
 
-        u = rqmc.sobol(k0, N, max(fk.du, 1))
+        if dctx is None:
+            u = rqmc.sobol(k0, N, max(fk.du, 1))
+        else:
+            u = rqmc.sobol(k0, N * dctx.D, max(fk.du, 1),
+                           start=shard * N, count=N)
         X = fk.Gamma0(u if fk.du > 1 else u[:, 0])
     else:
         X = fk.M0(k0, N)
@@ -219,10 +223,16 @@ def _step0(fk, key, N, qmc, summaries, ESSrmin, constrain=None):
     if constrain is not None:
         X, lw = constrain(X, lw)
     if qmc:
-        # SQMC invariant: the carry holds particles in Hilbert order, so
-        # every later step's inverse-CDF resampling is an offspring-counts
-        # repeat with NO random gathers (see _step_qmc)
-        X, (lw,) = _qmc_reorder(X, (lw,))
+        # SQMC invariant: the carry holds particles in Hilbert order
+        # (globally, under sharding), so every later step's inverse-CDF
+        # resampling is an offspring-counts repeat with NO random gathers
+        # (see _step_qmc)
+        if dctx is None:
+            X, (lw,) = _qmc_reorder(X, (lw,))
+        else:
+            from particles_tpu.parallel import dqmc
+
+            X, (lw,) = dqmc.dist_qmc_reorder(X, (lw,), dctx.axis, dctx.D)
     wgts = rs.Weights(lw)
     loglt = wgts.log_mean
     logLt = loglt
@@ -461,11 +471,24 @@ def _step_qmc(fk, carry, t, N, ESSrmin, summaries, constrain=None,
 
     The pre-sort particle system is identical to a gather-based
     implementation; only the (arbitrary) storage order differs.
+
+    Under a :mod:`particles_tpu.distctx` context (shard_map execution)
+    the SAME recursion runs per shard: each shard generates its slice of
+    the ONE globally-sorted Sobol set in closed form (``sobol_sorted0``
+    with a shard offset — requires global N a power of two), the
+    inverse-CDF serve rides the ``ppermute`` ring
+    (:func:`particles_tpu.parallel.dqmc.ring_merge_resample`) and the
+    Hilbert re-ordering is a distributed odd-even block merge
+    (:func:`particles_tpu.parallel.dqmc.dist_qmc_reorder`).
     """
     from particles_tpu import rqmc
 
+    dctx = distctx.current()
     key, k_u, k_col = jax.random.split(carry.key, 3)
-    X, lw = carry.X, carry.lw  # Hilbert-ordered
+    if dctx is not None:
+        shard = jax.lax.axis_index(dctx.axis)
+        k_col = jax.random.fold_in(k_col, shard)
+    X, lw = carry.X, carry.lw  # Hilbert-ordered (globally, under sharding)
     wgts = rs.Weights(lw)
     if fk.isAPF:
         logetat = fk.logeta(t - 1, X)
@@ -476,32 +499,63 @@ def _step_qmc(fk, carry, t, N, ESSrmin, summaries, constrain=None,
 
     use_pallas = constrain is None
     du = max(fk.du, 1)
-    if N & (N - 1) == 0:
-        # power-of-two N: generate the points DIRECTLY in first-coordinate
-        # order (closed-form cell-permutation inverse, rqmc.sobol_sorted0)
-        # — bit-identical to sorting, without the ~2.4 ms multi-operand
-        # lax.sort at N=2^20
-        us = rqmc.sobol_sorted0(k_u, N, du + 1)
+    if dctx is not None:
+        from particles_tpu.parallel import dqmc
+
+        Ng = N * dctx.D
+        if Ng & (Ng - 1):
+            raise NotImplementedError(
+                "SQMC under particle sharding requires the GLOBAL particle "
+                f"count to be a power of two (got N={Ng}): the sharded "
+                "sorted-Sobol generation is closed-form only at 2^m")
+        # this shard's block of the globally first-coordinate-sorted set
+        us = rqmc.sobol_sorted0(k_u, Ng, du + 1, start=shard * N, count=N)
         sorted_u = tuple(us[:, j] for j in range(du + 1))
+        su = sorted_u[0]
+        payload = {"x": X}
+        if fk.isAPF:
+            payload["eta"] = logetat
+        if need_gen:
+            served, A_h = dqmc.ring_merge_resample(
+                payload, su, aux.W, dctx.axis, dctx.D,
+                return_ancestors=True)
+        else:
+            served = dqmc.ring_merge_resample(
+                payload, su, aux.W, dctx.axis, dctx.D)
+            A_h = None
+        Xp = served["x"]
+        if fk.isAPF:
+            lw_reset = rs.log_mean_exp(logetat, W=wgts.W) - served["eta"]
+        else:
+            lw_reset = jnp.zeros(N, dtype=lw.dtype)
     else:
-        u = rqmc.sobol(k_u, N, du + 1)
-        sorted_u = jax.lax.sort(
-            tuple(u[:, j] for j in range(du + 1)), num_keys=1
-        )
-    su = sorted_u[0]
-    cs = jnp.cumsum(aux.W)
-    cs = cs / cs[-1]
-    z = rs._merge_rank_counts(su, cs, N)
-    z = z.at[-1].set(N)
-    z = rs._monotone_z(z)
-    Xp, rep = _repeat_z(X, z, N, use_pallas=use_pallas)
-    # ancestor indices are only materialised when something consumes the
-    # genealogy (history, genealogy-reading collectors); need_gen is static
-    A_h = rep(jnp.arange(N, dtype=jnp.int32)) if need_gen else None
-    if fk.isAPF:
-        lw_reset = rs.log_mean_exp(logetat, W=wgts.W) - rep(logetat)
-    else:
-        lw_reset = jnp.zeros(N, dtype=lw.dtype)
+        if N & (N - 1) == 0:
+            # power-of-two N: generate the points DIRECTLY in first-
+            # coordinate order (closed-form cell-permutation inverse,
+            # rqmc.sobol_sorted0) — bit-identical to sorting, without the
+            # ~2.4 ms multi-operand lax.sort at N=2^20
+            us = rqmc.sobol_sorted0(k_u, N, du + 1)
+            sorted_u = tuple(us[:, j] for j in range(du + 1))
+        else:
+            u = rqmc.sobol(k_u, N, du + 1)
+            sorted_u = jax.lax.sort(
+                tuple(u[:, j] for j in range(du + 1)), num_keys=1
+            )
+        su = sorted_u[0]
+        cs = jnp.cumsum(aux.W)
+        cs = cs / cs[-1]
+        z = rs._merge_rank_counts(su, cs, N)
+        z = z.at[-1].set(N)
+        z = rs._monotone_z(z)
+        Xp, rep = _repeat_z(X, z, N, use_pallas=use_pallas)
+        # ancestor indices are only materialised when something consumes
+        # the genealogy (history, genealogy-reading collectors); need_gen
+        # is static
+        A_h = rep(jnp.arange(N, dtype=jnp.int32)) if need_gen else None
+        if fk.isAPF:
+            lw_reset = rs.log_mean_exp(logetat, W=wgts.W) - rep(logetat)
+        else:
+            lw_reset = jnp.zeros(N, dtype=lw.dtype)
 
     v = sorted_u[1] if fk.du <= 1 else jnp.stack(sorted_u[1:], axis=1)
     X_new = fk.Gamma(t, Xp, v)
@@ -511,15 +565,22 @@ def _step_qmc(fk, carry, t, N, ESSrmin, summaries, constrain=None,
 
     # restore the invariant: one multi-operand sort carries everything a
     # consumer pairs elementwise with the new particles
+    if dctx is not None:
+        from particles_tpu.parallel import dqmc
+
+        reorder = lambda Xn, extras: dqmc.dist_qmc_reorder(  # noqa: E731
+            Xn, extras, dctx.axis, dctx.D)
+    else:
+        reorder = _qmc_reorder
     if need_gen:
         xp_cols = (Xp,) if X_new.ndim == 1 else tuple(
             Xp[:, j] for j in range(Xp.shape[1])
         )
-        X_h, rest = _qmc_reorder(X_new, (lw_new, A_h) + xp_cols)
+        X_h, rest = reorder(X_new, (lw_new, A_h) + xp_cols)
         lw_h, A_s = rest[0], rest[1]
         Xp_h = rest[2] if X_new.ndim == 1 else jnp.stack(rest[2:], axis=1)
     else:
-        X_h, (lw_h,) = _qmc_reorder(X_new, (lw_new,))
+        X_h, (lw_h,) = reorder(X_new, (lw_new,))
         A_s, Xp_h = None, None
     h_wgts = rs.Weights(lw_h)
     loglt = h_wgts.log_mean  # always resampled
@@ -528,7 +589,8 @@ def _step_qmc(fk, carry, t, N, ESSrmin, summaries, constrain=None,
 
     view = StepView(
         fk=fk, t=t, X=X_h, Xp=Xp_h, A=A_s, wgts=h_wgts, aux=aux,
-        rs_flag=rs_flag, logLt=logLt, loglt=loglt, N=N, ESSrmin=ESSrmin,
+        rs_flag=rs_flag, logLt=logLt, loglt=loglt,
+        N=N if dctx is None else N * dctx.D, ESSrmin=ESSrmin,
         key=k_col,
     )
     if summaries is not None:

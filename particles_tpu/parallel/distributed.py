@@ -193,23 +193,27 @@ def run_shardmap_smc(fk, N, key=None, mesh=None, axis="particles",
       become psum collectives via the dist-aware numerics layer),
     * history (full / rolling / partial), with GLOBAL ancestor indices.
 
-    Explicitly rejected (raise, never silently wrong): ``qmc=True`` (SQMC
-    needs a global Hilbert sort per step — run it on a single device or
-    via the GSPMD path), non-systematic resampling schemes, and collectors
-    that walk the genealogy or keep per-particle state across steps
-    (fixed-lag / on-line smoothers).
+    ``qmc=True`` runs distributed SQMC (round 3): each shard generates
+    its slice of ONE globally-sorted Sobol set in closed form, the
+    inverse-CDF serve rides the same ppermute ring, and the per-step
+    Hilbert re-ordering is a distributed odd-even block merge
+    (:mod:`particles_tpu.parallel.dqmc`).  Requires N a power of two.
+
+    Explicitly rejected (raise, never silently wrong): non-systematic
+    resampling schemes, and collectors that walk the genealogy or keep
+    per-particle state across steps (fixed-lag / on-line smoothers).
 
     Returns an ``SMCResult`` (with ``.hist`` when history is requested).
     """
     from particles_tpu import collectors as col
     from particles_tpu import core
 
-    if qmc:
+    if qmc and (N & (N - 1)):
         raise NotImplementedError(
-            "run_shardmap_smc: SQMC is not supported under particle "
-            "sharding (each step needs a global Hilbert sort); use the "
-            "single-device engine or run_sharded_smc")
-    if resampling != "systematic":
+            "run_shardmap_smc: SQMC under particle sharding requires N a "
+            f"power of two (got {N}): the sharded sorted-Sobol generation "
+            "is closed-form only at 2^m")
+    if not qmc and resampling != "systematic":
         raise NotImplementedError(
             f"run_shardmap_smc: resampling scheme {resampling!r} is not "
             "supported under particle sharding (the ring redistribution "
@@ -240,7 +244,7 @@ def run_shardmap_smc(fk, N, key=None, mesh=None, axis="particles",
     def local_run(fk, key):
         with distctx.dist_context(axis, D):
             return core._run_full(
-                fk, key, Nloc, T, False, resampling, ESSrmin, summaries,
+                fk, key, Nloc, T, qmc, resampling, ESSrmin, summaries,
                 hist_spec, None,
             )
 

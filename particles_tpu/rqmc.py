@@ -98,14 +98,18 @@ def _direction_numbers(d):
     return V.astype(np.uint32)
 
 
-def _sobol_ints(N, d, V=None):
-    """(N, d) uint32 raw Sobol integers via Gray-code XOR expansion,
-    fully vectorised (32 static XOR terms)."""
+def _sobol_ints(N, d, V=None, start=0, count=None):
+    """(count, d) uint32 raw Sobol integers (rows [start, start+count) of
+    the N-point sequence) via Gray-code XOR expansion, fully vectorised
+    (32 static XOR terms).  ``start`` may be traced; ``count`` is static
+    (defaults to N)."""
     if V is None:
         V = jnp.asarray(_direction_numbers(d))  # (d, 32)
-    i = jnp.arange(N, dtype=jnp.uint32)
+    if count is None:
+        count = N
+    i = jnp.uint32(start) + jnp.arange(count, dtype=jnp.uint32)
     gray = i ^ (i >> 1)
-    out = jnp.zeros((N, d), dtype=jnp.uint32)
+    out = jnp.zeros((count, d), dtype=jnp.uint32)
     for j in range(_BITS):
         bit = ((gray >> j) & 1).astype(jnp.uint32)  # (N,)
         out = out ^ (bit[:, None] * V[None, :, j])
@@ -188,7 +192,7 @@ def _clamp(u):
     return jnp.clip(u, eps, 1.0 - eps)
 
 
-def sobol(key, N, d, scramble="lms_shift"):
+def sobol(key, N, d, scramble="lms_shift", start=0, count=None):
     """Scrambled Sobol points: (N, d) in (0, 1) (counterpart of reference
     ``sobol``, rqmc.py:14-15, whose scipy backend uses LMS + shift).
 
@@ -197,18 +201,25 @@ def sobol(key, N, d, scramble="lms_shift"):
     the hash-based construction — a strictly stronger randomisation
     family, see :func:`_owen_scramble_ints`), or ``"shift"`` (digital
     shift only — cheaper, still valid RQMC).
+
+    ``start``/``count`` select rows [start, start+count) of the sequence
+    without generating the rest (``start`` may be traced) — under
+    particle sharding each shard draws exactly its slice of ONE global
+    point set.
     """
     if scramble == "lms_shift":
         k_lms, k_shift = jax.random.split(key)
-        ints = _sobol_ints(N, d, V=_lms_direction_numbers(k_lms, d))
+        ints = _sobol_ints(N, d, V=_lms_direction_numbers(k_lms, d),
+                           start=start, count=count)
     elif scramble == "owen":
         seeds = jax.random.bits(key, (d,), dtype=jnp.uint32)
-        ints = _owen_scramble_ints(_sobol_ints(N, d), seeds)
+        ints = _owen_scramble_ints(
+            _sobol_ints(N, d, start=start, count=count), seeds)
         return _clamp((ints >> jnp.uint32(8)).astype(jnp.float32)
                       * (2.0 ** -(_BITS - 8)))
     elif scramble == "shift":
         k_shift = key
-        ints = _sobol_ints(N, d)
+        ints = _sobol_ints(N, d, start=start, count=count)
     else:
         raise ValueError(f"unknown scramble: {scramble!r}")
     shift = jax.random.bits(k_shift, (d,), dtype=jnp.uint32)
@@ -220,10 +231,16 @@ def sobol(key, N, d, scramble="lms_shift"):
                   * (2.0 ** -(_BITS - 8)))
 
 
-def sobol_sorted0(key, N, d):
+def sobol_sorted0(key, N, d, start=0, count=None):
     """LMS+shift-scrambled Sobol points generated DIRECTLY in the order
     sorted by coordinate 0 — no ``lax.sort`` (the SQMC engine's per-step
     u-sort, ~2.4 ms at N=2^20, becomes closed-form index arithmetic).
+
+    ``start``/``count`` select a row slice [start, start+count) of the
+    sorted (N, d) matrix without generating the rest — ``start`` may be a
+    traced scalar (e.g. ``shard * N_local`` inside shard_map), ``count``
+    must be static.  This is what makes the SQMC point set *shardable*:
+    each device generates exactly its block of the globally-sorted set.
 
     Why this works: at N = 2^m the first coordinate is a (0, m, 1)-net —
     one point per dyadic cell [j/N, (j+1)/N) — so sorting by value is
@@ -271,12 +288,14 @@ def sobol_sorted0(key, N, d):
             row = row ^ (bit * ainv[c])
         ainv.append(row)
 
-    j = jnp.arange(N, dtype=jnp.uint32)
+    if count is None:
+        count = N
+    j = jnp.uint32(start) + jnp.arange(count, dtype=jnp.uint32)
     y = j ^ (shift[0] >> jnp.uint32(32 - m))           # cell ^ shift-top
     # A's components are indexed top-first (component c = numeric bit
     # m-1-c of the cell): re-pack y's bits to match the row masks
     yrev = _bitreverse32(y) >> jnp.uint32(32 - m)
-    out = jnp.zeros((N, d), dtype=jnp.uint32)
+    out = jnp.zeros((count, d), dtype=jnp.uint32)
     for r in range(m):
         g_r = jax.lax.population_count(ainv[r] & yrev) & jnp.uint32(1)
         out = out ^ (g_r[:, None] * Vp[None, :, r])

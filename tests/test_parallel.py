@@ -251,8 +251,8 @@ class TestUnifiedShardmapEngine:
         ssm, y, _ = setup_lg()
         fk = ssms.Bootstrap(ssm=ssm, data=y)
         mesh = self._mesh()
-        with pytest.raises(NotImplementedError, match="SQMC"):
-            parallel.run_shardmap_smc(fk, N=512, mesh=mesh, qmc=True)
+        with pytest.raises(NotImplementedError, match="power of two"):
+            parallel.run_shardmap_smc(fk, N=768, mesh=mesh, qmc=True)
         with pytest.raises(NotImplementedError, match="resampling"):
             parallel.run_shardmap_smc(fk, N=512, mesh=mesh,
                                       resampling="multinomial")
@@ -274,6 +274,108 @@ class TestUnifiedShardmapEngine:
         pf2 = particles.SMC(fk=fk, N=256, key=jax.random.key(5))
         pf2.run()
         assert float(pf1.logLt) == float(pf2.logLt)
+
+
+class TestDistributedSQMC:
+    """Round 3: SQMC under particle sharding (parallel/dqmc.py) — sharded
+    sorted-Sobol generation, ring merge-rank resampling, distributed
+    odd-even Hilbert merge.  The distributed run must match the
+    single-device SQMC engine (same key, same global point set) to float
+    reduction-order tolerance."""
+
+    def _mesh(self):
+        return parallel.make_mesh(8, ("particles",))
+
+    def test_dist_sort_with_matches_global_sort(self):
+        """Primitive: odd-even block transposition == one global sort."""
+        from jax.sharding import PartitionSpec as P
+        from particles_tpu.parallel import dqmc
+        from particles_tpu.parallel import distributed as dist
+
+        mesh = self._mesh()
+        keys = jax.random.normal(jax.random.key(0), (1024,))
+        # duplicate keys exercise the canonical-order tie handling
+        keys = jnp.round(keys * 10) / 10
+        payload = jnp.arange(1024, dtype=jnp.float32)
+
+        def local(k, p):
+            (ks,), (ps,) = dqmc.dist_sort_with((k,), (p,), "particles", 8)
+            return ks, ps
+
+        f = jax.jit(
+            dist._shard_map(
+                local, mesh,
+                in_specs=(P("particles"), P("particles")),
+                out_specs=(P("particles"), P("particles")),
+            )
+        )
+        with mesh:
+            ks, ps = f(keys, payload)
+        order = np.argsort(np.asarray(keys), kind="stable")
+        np.testing.assert_array_equal(np.asarray(ks),
+                                      np.asarray(keys)[order])
+        np.testing.assert_array_equal(np.asarray(ps),
+                                      np.asarray(payload)[order])
+
+    def test_sqmc_matches_single_device(self):
+        """Same key: the distributed SQMC filter reproduces the
+        single-device SQMC filter (layout/reduction-order only)."""
+        ssm, y, _ = setup_lg()
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        pf = particles.SMC(fk=fk, N=1024, qmc=True, key=jax.random.key(11))
+        pf.run()
+        res = parallel.run_shardmap_smc(
+            fk, N=1024, key=jax.random.key(11), mesh=self._mesh(),
+            qmc=True)
+        assert abs(float(res.logLt) - float(pf.logLt)) < 1e-3, (
+            float(res.logLt), float(pf.logLt))
+        np.testing.assert_allclose(
+            np.asarray(res.ESSs), np.asarray(pf.summaries.ESSs),
+            rtol=1e-3)
+
+    def test_sqmc_matches_kalman(self):
+        ssm, y, exact = setup_lg()
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        res = parallel.run_shardmap_smc(
+            fk, N=512, key=jax.random.key(4), mesh=self._mesh(), qmc=True)
+        assert abs(float(res.logLt) - exact) < 0.3, (float(res.logLt),
+                                                     exact)
+
+    def test_sqmc_guided_and_apf(self):
+        """FK-generic: guided + APF (the logeta payload rides the ring)."""
+        ssm, y, exact = setup_lg()
+        mesh = self._mesh()
+        for fkc in (ssms.GuidedPF, ssms.AuxiliaryPF):
+            fk = fkc(ssm=ssm, data=y)
+            res = parallel.run_shardmap_smc(
+                fk, N=512, key=jax.random.key(21), mesh=mesh, qmc=True)
+            assert abs(float(res.logLt) - exact) < 0.35, (
+                fkc.__name__, float(res.logLt), exact)
+
+    def test_sqmc_multivariate(self):
+        """d=3 state: the distributed Hilbert keys (psum standardisation
+        + odd-even merge) against the exact Kalman evidence."""
+        mv = kalman.MVLinearGauss_Guarniero_etal(alpha=0.4, dx=3)
+        _, y = mv.simulate(jax.random.key(7), 15)
+        kf = kalman.Kalman(ssm=mv, data=y)
+        kf.filter()
+        fk = ssms.Bootstrap(ssm=mv, data=y)
+        res = parallel.run_shardmap_smc(
+            fk, N=1024, key=jax.random.key(8), mesh=self._mesh(), qmc=True)
+        assert abs(float(res.logLt) - float(kf.logLt)) < 0.5
+
+    def test_sqmc_history_global_genealogy(self):
+        ssm, y, _ = setup_lg()
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        res = parallel.run_shardmap_smc(
+            fk, N=512, key=jax.random.key(9), mesh=self._mesh(), qmc=True,
+            store_history=True)
+        T = int(fk.T)
+        assert res.hist.X.shape == (T, 512)
+        A = np.asarray(res.hist.A)
+        assert A.shape == (T, 512) and A.min() >= 0 and A.max() < 512
+        traj = res.hist.backward_sampling_mcmc(jax.random.key(0), 4)
+        assert np.isfinite(np.asarray(traj)).all()
 
 
 class TestPallasNeverUnderGSPMD:

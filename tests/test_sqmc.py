@@ -330,6 +330,36 @@ class TestSobolSorted0:
         with pytest.raises(ValueError):
             rqmc.sobol_sorted0(jax.random.key(0), 1000, 2)
 
+    def test_slice_consistency(self):
+        """start/count select rows of the SAME point set (the sharded
+        generation contract: each shard's slice concatenates to the
+        full-N matrix, bit-exactly)."""
+        key = jax.random.key(3)
+        N, d = 1024, 4
+        full_sorted = np.asarray(rqmc.sobol_sorted0(key, N, d))
+        for scr in ("lms_shift", "owen", "shift"):
+            full = np.asarray(rqmc.sobol(key, N, d, scramble=scr))
+            for start, count in ((0, 128), (128, 128), (896, 128),
+                                 (300, 57)):
+                got = np.asarray(rqmc.sobol(key, N, d, scramble=scr,
+                                            start=start, count=count))
+                assert (got == full[start:start + count]).all(), (
+                    scr, start, count)
+        for start, count in ((0, 128), (512, 128), (896, 128)):
+            got = np.asarray(rqmc.sobol_sorted0(key, N, d, start=start,
+                                                count=count))
+            assert (got == full_sorted[start:start + count]).all(), (
+                start, count)
+
+    def test_slice_traced_start(self):
+        """``start`` may be a traced scalar (shard_map usage)."""
+        key = jax.random.key(5)
+        full = np.asarray(rqmc.sobol_sorted0(key, 512, 3))
+        f = jax.jit(lambda s: rqmc.sobol_sorted0(key, 512, 3, start=s,
+                                                 count=64))
+        got = np.asarray(f(jnp.uint32(192)))
+        assert (got == full[192:256]).all()
+
     def test_sqmc_engine_still_exact(self):
         """SQMC with the sort-free path matches the Kalman oracle."""
         from particles_tpu import kalman
