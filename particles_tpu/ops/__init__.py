@@ -6,6 +6,7 @@ live in CLAUDE.md ("Mosaic wants statically scheduled dense tiles").
 """
 
 from particles_tpu.ops.cummax_kernel import running_max  # noqa: F401
+from particles_tpu.ops.guard import no_pallas, pallas_allowed  # noqa: F401
 from particles_tpu.ops.merge_rank_kernel import merge_rank_counts  # noqa: F401
 from particles_tpu.ops.repeat_kernel import (  # noqa: F401
     make_repeat_plan,

@@ -91,7 +91,9 @@ def _running_max_pallas(z2, n):
 
 
 def _on_tpu():
-    return jax.default_backend() in ("tpu", "axon")
+    from particles_tpu.ops.guard import pallas_allowed
+
+    return pallas_allowed() and jax.default_backend() in ("tpu", "axon")
 
 
 _TILE = _BR * 128

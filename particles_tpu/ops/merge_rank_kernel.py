@@ -112,7 +112,9 @@ def _merge_pallas(su, cs, N):
 
 
 def _on_tpu():
-    return jax.default_backend() in ("tpu", "axon")
+    from particles_tpu.ops.guard import pallas_allowed
+
+    return pallas_allowed() and jax.default_backend() in ("tpu", "axon")
 
 
 def merge_rank_counts(su, cs, M):

@@ -208,7 +208,9 @@ def _repeat_pallas(plan_tch, plan_wblk, plan_plast, plan_first, zT, xf, Mp):
 
 
 def _on_tpu():
-    return jax.default_backend() in ("tpu", "axon")
+    from particles_tpu.ops.guard import pallas_allowed
+
+    return pallas_allowed() and jax.default_backend() in ("tpu", "axon")
 
 
 # Max trailing dim routed column-wise through the kernel.  Measured on v5e

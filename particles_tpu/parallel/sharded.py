@@ -122,7 +122,13 @@ def run_sharded_smc(
             hist_spec, constrain,
         )
 
-    with mesh:
+    from particles_tpu.ops import no_pallas
+
+    with mesh, no_pallas():
+        # trace inside no_pallas(): GSPMD cannot partition a pallas_call,
+        # so every kernel router must take its XLA fallback here (the
+        # engine's own use_pallas threading covers the repeat path; the
+        # guard covers running_max / merge_rank / fused-z too)
         carry, outs, hist = run(fk, key)
     names = (
         [c.summary_name for c in summaries._collectors]
@@ -182,6 +188,8 @@ def run_sharded_multismc(
         )
         return logLts, lws
 
+    from particles_tpu.ops import no_pallas
+
     run = jax.jit(batched)
-    with mesh:
+    with mesh, no_pallas():  # see run_sharded_smc
         return run(fk, keys)

@@ -528,7 +528,15 @@ def systematic_z(key, W, M):
     """Systematic z-form: z_i = #{j: (j+u)/M <= cs_i} = floor(M*cs_i - u)
     + 1.  Pure arithmetic in cumsum(W) — no search, no gather, and no
     separate counts cumsum (z IS the cumsum the repeat kernel consumes)."""
+    from particles_tpu.ops.z_kernel import systematic_z_fused
+
     u = jax.random.uniform(key, ())
+    z = systematic_z_fused(W, u, M)
+    if z is not None:
+        # fused streaming Pallas pass: exact int32 fixed-point cumsum +
+        # affine floor transform — monotone BY CONSTRUCTION, so neither
+        # the XLA cumsum (~0.66 ms at 2^20) nor the cummax wave is needed
+        return z
     cs = _normalised_cumsum(W)
     z = jnp.clip(jnp.floor(M * cs - u).astype(jnp.int32) + 1, 0, M)
     z = z.at[-1].set(M)  # guard rounding at the top

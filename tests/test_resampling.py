@@ -422,6 +422,76 @@ class TestRepeatKernels:
 
 
 
+class TestFusedZKernel:
+    """Round 3: ops/z_kernel.py computes the systematic z-form in one
+    streaming Pallas pass over int32 fixed-point weights — exact int
+    cumsum, so monotone BY CONSTRUCTION (no cummax wave needed)."""
+
+    @pytest.mark.parametrize("conc", [1.0, 0.01, 8.0])
+    def test_matches_float64_oracle(self, conc):
+        from jax.experimental import pallas as pl
+
+        import particles_tpu.ops.z_kernel as zk
+
+        orig = pl.pallas_call
+
+        def patched(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        zk.pl.pallas_call = patched
+        orig_on_tpu = zk._on_tpu
+        zk._on_tpu = lambda: True
+        try:
+            N = 8192
+            rng = np.random.default_rng(int(conc * 100))
+            lw = conc * rng.normal(size=N)
+            W = rs.exp_and_normalise(jnp.asarray(lw, jnp.float32))
+            u = 0.37
+            z = zk.systematic_z_fused(W, u, N)
+            assert z is not None
+            z = np.asarray(z)
+            W64 = np.asarray(W, np.float64)
+            W64 /= W64.sum()
+            z64 = np.clip(
+                np.floor(N * np.cumsum(W64) - u).astype(np.int64) + 1, 0, N)
+            z64[-1] = N
+            # fixed-point quantisation keeps z within +-1 of exact
+            assert np.abs(z - z64).max() <= 1
+            assert (np.diff(z) >= 0).all()
+            assert z[-1] == N
+            # unaligned N is not routable: caller falls back
+            assert zk.systematic_z_fused(W[:1000], u, 1000) is None
+        finally:
+            zk.pl.pallas_call = orig
+            zk._on_tpu = orig_on_tpu
+            zk._z_pallas.clear_cache()
+
+    def test_no_pallas_guard(self):
+        """The trace-time guard flips pallas_allowed and disables every
+        kernel router (GSPMD cannot partition a pallas_call)."""
+        from particles_tpu import ops
+        import particles_tpu.ops.z_kernel as zk
+
+        assert ops.pallas_allowed()
+        with ops.no_pallas():
+            assert not ops.pallas_allowed()
+            with ops.no_pallas():  # re-entrant
+                assert not ops.pallas_allowed()
+            assert not ops.pallas_allowed()
+        assert ops.pallas_allowed()
+
+        # a router whose backend gate passes still refuses under the guard
+        orig_on_tpu = zk._on_tpu
+        zk._on_tpu = lambda: ops.pallas_allowed()
+        try:
+            W = jnp.full((8192,), 1.0 / 8192, jnp.float32)
+            with ops.no_pallas():
+                assert zk.systematic_z_fused(W, 0.5, 8192) is None
+        finally:
+            zk._on_tpu = orig_on_tpu
+
+
 class TestZFormMonotonicity:
     """Round 3: resampling_z documents a NONDECREASING z, but XLA's
     parallel f32 cumsum is not association-monotone — at N~1e6 the raw
