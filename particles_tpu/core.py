@@ -1010,8 +1010,15 @@ class SMC:
 
     @utils.timer
     def run(self):
-        """Run the algorithm to completion (reference core.py:391-409)."""
-        if not self._static_horizon:
+        """Run the algorithm to completion (reference core.py:391-409).
+
+        Like the reference, ``run`` CONTINUES from the current state: on a
+        partially-stepped algorithm (``next(pf)`` was called) it finishes
+        via the stepping path rather than restarting the compiled
+        whole-run scan from t=0 (which would silently discard the
+        completed steps and, since stepping advances ``self.key``, replay
+        a different randomness stream)."""
+        if not self._static_horizon or self.t > 0:
             for _ in self:
                 pass
             return

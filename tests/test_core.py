@@ -194,6 +194,23 @@ class TestEngineBehaviour:
             np.asarray(pf1.X), np.asarray(pf2.X), rtol=1e-4, atol=1e-5
         )
 
+    def test_run_continues_after_stepping(self, lg_setup):
+        """run() on a partially-stepped pf CONTINUES (reference
+        semantics) — it must not restart the compiled scan from t=0,
+        which would discard the completed steps and (since stepping
+        advances self.key) replay a different randomness stream."""
+        ssm, y, _ = lg_setup
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        pf1 = particles.SMC(fk=fk, N=300, key=jax.random.key(9))
+        next(pf1)
+        next(pf1)
+        pf1.run()
+        pf2 = particles.SMC(fk=fk, N=300, key=jax.random.key(9))
+        for _ in pf2:
+            pass
+        assert float(pf1.logLt) == float(pf2.logLt)
+        assert pf1.t == y.shape[0]
+
     def test_store_history(self, lg_setup):
         ssm, y, _ = lg_setup
         pf = run_pf(ssms.Bootstrap, ssm, y, N=64, seed=0, store_history=True)
