@@ -542,11 +542,14 @@ def _step_qmc(fk, carry, t, N, ESSrmin, summaries, constrain=None,
                 tuple(u[:, j] for j in range(du + 1)), num_keys=1
             )
         su = sorted_u[0]
-        cs = jnp.cumsum(aux.W)
-        cs = cs / cs[-1]
+        # fixed-point kernel when routable: cs monotone by construction,
+        # so the merge-rank z needs no cummax wave (and the XLA cumsum +
+        # normalising divide collapse into one streaming pass)
+        cs, cs_mono = rs._normalised_cumsum_mono(aux.W)
         z = rs._merge_rank_counts(su, cs, N)
         z = z.at[-1].set(N)
-        z = rs._monotone_z(z)
+        if not cs_mono:
+            z = rs._monotone_z(z)
         Xp, rep = _repeat_z(X, z, N, use_pallas=use_pallas)
         # ancestor indices are only materialised when something consumes
         # the genealogy (history, genealogy-reading collectors); need_gen

@@ -46,23 +46,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["systematic_z_fused"]
+__all__ = ["systematic_z_fused", "normalised_cumsum_exact"]
 
 _BR = 64                  # sublane rows per grid step
 _SCALE = float(1 << 30)   # fixed-point grid
 
 
-def _z_kernel(sc_ref, w_ref, z_ref, carry, *, M):
-    t = pl.program_id(0)
-    scale = sc_ref[0]      # 2^30 / S
-    minv = sc_ref[1]       # M / quantised total
-    u = sc_ref[2]
-    w = w_ref[:]                                      # (BR, 128) f32 >= 0
+def _block_int_cumsum(w, scale, carry, t):
+    """Exact int32 inclusive cumsum of a (BR, 128) f32 block of
+    nonnegative weights quantised as ``round(w * scale)``, flattened
+    row-major, with an SMEM-carried running prefix over the sequential
+    TPU grid.  Hillis-Steele lane then sublane doubling via masked
+    ``pltpu.roll`` (reshapes are forbidden in Mosaic — see CLAUDE.md)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (_BR, 128), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (_BR, 128), 0)
 
     q = jnp.round(w * scale).astype(jnp.int32)        # fixed-point weights
-    # inclusive cumsum along lanes (Hillis-Steele; exact in int32)
+    # inclusive cumsum along lanes (exact in int32)
     k = 1
     while k < 128:
         sh = pltpu.roll(q, k, axis=1)
@@ -87,12 +87,28 @@ def _z_kernel(sc_ref, w_ref, z_ref, carry, *, M):
     c = carry[0]
     q = q + c
     carry[0] = c + jnp.max(run)                       # block total (w >= 0)
+    return q
 
+
+def _z_kernel(sc_ref, w_ref, z_ref, carry, *, M):
+    t = pl.program_id(0)
+    scale = sc_ref[0]      # 2^30 / S
+    minv = sc_ref[1]       # M / quantised total
+    u = sc_ref[2]
+    q = _block_int_cumsum(w_ref[:], scale, carry, t)
     # monotone transform: int -> f32 convert, * positive const, - const,
     # floor — each stage preserves the (exact) int ordering
     z = (jnp.floor(q.astype(jnp.float32) * minv - u).astype(jnp.int32)
          + jnp.int32(1))
     z_ref[:] = jnp.clip(z, 0, M)
+
+
+def _cs_kernel(sc_ref, w_ref, cs_ref, carry):
+    t = pl.program_id(0)
+    q = _block_int_cumsum(w_ref[:], sc_ref[0], carry, t)
+    # int -> f32 convert then * positive const: both monotone, so cs is
+    # nondecreasing BY CONSTRUCTION
+    cs_ref[:] = q.astype(jnp.float32) * sc_ref[1]
 
 
 @functools.partial(jax.jit, static_argnames=("M",))
@@ -112,6 +128,25 @@ def _z_pallas(w2, scale, minv, u, M):
         out_shape=jax.ShapeDtypeStruct(w2.shape, jnp.int32),
         grid_spec=grid_spec,
     )(jnp.stack([scale, minv, u]), w2)
+
+
+@jax.jit
+def _cs_pallas(w2, scale, inv_qtotal):
+    nsteps = w2.shape[0] // _BR
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
+        in_specs=[pl.BlockSpec((_BR, 128), lambda t, *_: (t, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((_BR, 128), lambda t, *_: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+    )
+    return pl.pallas_call(
+        _cs_kernel,
+        out_shape=jax.ShapeDtypeStruct(w2.shape, jnp.float32),
+        grid_spec=grid_spec,
+    )(jnp.stack([scale, inv_qtotal]), w2)
 
 
 def _on_tpu():
@@ -148,3 +183,34 @@ def systematic_z_fused(W, u, M):
     z = _z_pallas(W.reshape(-1, 128), scale, minv,
                   jnp.asarray(u, jnp.float32), M)
     return z.reshape(-1).at[-1].set(M)
+
+
+def normalised_cumsum_exact(W):
+    """Monotone normalised cumulative weights ``cs`` in ONE streaming
+    pass: exact int32 fixed-point cumsum (2^30 grid, SMEM-carried
+    prefix) converted to f32 and scaled by 1/quantised-total — every
+    stage monotone, so ``cs`` is nondecreasing BY CONSTRUCTION (callers
+    may skip the cummax wave that guards XLA's association-sensitive f32
+    cumsum).  ``cs[-1]`` is 1.0 to within one f32 ulp; callers that need
+    an exact top pin it themselves (the z-form convention is
+    ``z.at[-1].set(M)``).
+
+    Accuracy matches :func:`systematic_z_fused`: each weight is
+    perturbed by <= 2^-31 absolute and the quantised-total
+    renormalisation keeps sub-ulp truncation from shifting the CDF
+    systematically.
+
+    Returns None when not routable (not on TPU / guard active, N not a
+    multiple of 8192, wrong dtype/rank) — callers fall back to
+    ``cumsum + cummax``.
+    """
+    N = W.shape[0]
+    if not (_on_tpu() and W.ndim == 1 and W.dtype == jnp.float32
+            and N % _TILE == 0 and N >= _TILE):
+        return None
+    S = jnp.sum(W)
+    scale = jnp.float32(_SCALE) / jnp.maximum(S, jnp.float32(1e-37))
+    q_total = jnp.sum(jnp.round(W * scale).astype(jnp.int32))
+    inv = jnp.float32(1.0) / jnp.maximum(
+        q_total.astype(jnp.float32), jnp.float32(1.0))
+    return _cs_pallas(W.reshape(-1, 128), scale, inv).reshape(-1)

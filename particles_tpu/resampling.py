@@ -523,6 +523,24 @@ def _normalised_cumsum(W):
     return cs / cs[-1]
 
 
+def _normalised_cumsum_mono(W):
+    """Normalised cumulative weights plus a trace-time flag saying the
+    result is monotone BY CONSTRUCTION.
+
+    On TPU (aligned f32 W, Pallas allowed) this is the one-pass
+    fixed-point kernel (ops/z_kernel.normalised_cumsum_exact): exact int
+    cumsum, so downstream z-forms need no cummax wave.  Otherwise the
+    XLA cumsum, whose parallel f32 association can dip — callers MUST
+    apply :func:`_monotone_z` when the flag is False.
+    """
+    from particles_tpu.ops.z_kernel import normalised_cumsum_exact
+
+    cs = normalised_cumsum_exact(W)
+    if cs is not None:
+        return cs, True
+    return _normalised_cumsum(W), False
+
+
 @resampling_z_scheme
 def systematic_z(key, W, M):
     """Systematic z-form: z_i = #{j: (j+u)/M <= cs_i} = floor(M*cs_i - u)
@@ -560,7 +578,7 @@ def stratified_z(key, W, M):
     = k_i + 1[u_{k_i} <= frac_i], k_i = floor(M*cs_i).  The u-gather uses
     sorted indices (cheap on TPU)."""
     u = jax.random.uniform(key, (M,))
-    cs = _normalised_cumsum(W)
+    cs, cs_mono = _normalised_cumsum_mono(W)
     g = M * cs
     k = jnp.floor(g).astype(jnp.int32)
     frac = g - k
@@ -568,7 +586,10 @@ def stratified_z(key, W, M):
     z = jnp.where(k >= M, M, k + (uk <= frac).astype(jnp.int32))
     z = jnp.clip(z, 0, M)
     z = z.at[-1].set(M)  # guard rounding at the top
-    return _monotone_z(z)
+    # monotone cs => monotone z: for cs_{i+1} >= cs_i either k is equal
+    # (frac nondecreasing, so the shared-u indicator is nondecreasing) or
+    # k_{i+1} > k_i (then z_{i+1} >= k_{i+1} >= k_i + 1 >= z_i)
+    return z if cs_mono else _monotone_z(z)
 
 
 @resampling_counts_scheme
@@ -618,10 +639,11 @@ def multinomial_z(key, W, M):
     spacings construction) merged against cumsum(W) by the streaming
     merge-rank kernel (one sort on CPU fallback)."""
     su = uniform_spacings(key, M)
-    cs = _normalised_cumsum(W)
+    cs, cs_mono = _normalised_cumsum_mono(W)
     z = _merge_rank_counts(su, cs, M)
     z = z.at[-1].set(M)
-    return _monotone_z(z)
+    # z_i = #{j: su_j <= cs_i} is monotone in i whenever cs is
+    return z if cs_mono else _monotone_z(z)
 
 
 @resampling_counts_scheme
@@ -651,11 +673,13 @@ def residual_counts(key, W, M):
     denom = jnp.take(z_exp, jnp.clip(sres, 0, M))
     su = z_exp[:-1] / denom
     su = jnp.where(jnp.arange(M) < sres, su, 2.0)  # mask: never counted
-    cs = _normalised_cumsum(res / jnp.maximum(jnp.sum(res), 1e-30))
+    cs, cs_mono = _normalised_cumsum_mono(
+        res / jnp.maximum(jnp.sum(res), 1e-30))
     zr = _merge_rank_counts(su, cs, M)
     zr = jnp.minimum(zr, sres)
     zr = zr.at[-1].set(jnp.clip(sres, 0, M))
-    zr = _monotone_z(zr)
+    if not cs_mono:
+        zr = _monotone_z(zr)
     res_counts = jnp.diff(zr, prepend=jnp.zeros(1, jnp.int32))
     return intpart + res_counts
 

@@ -467,6 +467,45 @@ class TestFusedZKernel:
             zk._on_tpu = orig_on_tpu
             zk._z_pallas.clear_cache()
 
+    @pytest.mark.parametrize("conc", [1.0, 8.0])
+    def test_normalised_cumsum_exact(self, conc):
+        """The streaming fixed-point cs kernel is monotone by
+        construction and within quantisation error of the float64 CDF."""
+        from jax.experimental import pallas as pl
+
+        import particles_tpu.ops.z_kernel as zk
+
+        orig = pl.pallas_call
+
+        def patched(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        zk.pl.pallas_call = patched
+        orig_on_tpu = zk._on_tpu
+        zk._on_tpu = lambda: True
+        try:
+            N = 8192
+            rng = np.random.default_rng(int(conc))
+            lw = conc * rng.normal(size=N)
+            W = rs.exp_and_normalise(jnp.asarray(lw, jnp.float32))
+            cs = zk.normalised_cumsum_exact(W)
+            assert cs is not None
+            cs = np.asarray(cs)
+            W64 = np.asarray(W, np.float64)
+            cs64 = np.cumsum(W64 / W64.sum())
+            assert (np.diff(cs) >= 0).all()
+            assert np.abs(cs - cs64).max() < N * 2**-31 + 1e-6
+            assert abs(cs[-1] - 1.0) < 1e-6
+            # the resampling-layer helper routes + reports monotonicity
+            cs2, mono = rs._normalised_cumsum_mono(W)
+            assert mono and bool(jnp.all(cs2 == jnp.asarray(cs)))
+            assert zk.normalised_cumsum_exact(W[:1000]) is None
+        finally:
+            zk.pl.pallas_call = orig
+            zk._on_tpu = orig_on_tpu
+            zk._cs_pallas.clear_cache()
+
     def test_no_pallas_guard(self):
         """The trace-time guard flips pallas_allowed and disables every
         kernel router (GSPMD cannot partition a pallas_call)."""
