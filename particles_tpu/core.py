@@ -285,13 +285,17 @@ def _repeat(X, counts, M, use_pallas=True):
     )
 
 
-def _repeat_z(X, z, M, use_pallas=True):
+def _repeat_z(X, z, M, use_pallas=True, want_anc=False):
     """z-form resampling move with one shared plan for every leaf.
 
     ``z`` is the inclusive cumsum of offspring counts (a scheme's
     ``resampling_z`` output): the visit plan and the transposed z are
     computed once and reused by all state leaves, the APF aux weights and
-    the ancestor iota (which XLA dead-code-eliminates when unused).
+    the ancestor iota.  Returns ``(X_served, rep, A)``; ``A`` is the
+    ancestor vector when ``want_anc`` (fused into the first leaf's kernel
+    call — the serving index is a byproduct of the two-level select, see
+    ops.repeat_with_plan_anc — instead of a second full kernel launch),
+    else None.
     """
     from particles_tpu import ops
 
@@ -300,9 +304,21 @@ def _repeat_z(X, z, M, use_pallas=True):
         counts = jnp.diff(z, prepend=jnp.zeros(1, jnp.int32))
         rep = lambda leaf: jnp.repeat(leaf, counts, axis=0,
                                       total_repeat_length=M)
+        A = (rep(jnp.arange(z.shape[0], dtype=jnp.int32)) if want_anc
+             else None)
+        return jax.tree_util.tree_map(rep, X), rep, A
+    rep = lambda leaf: ops.repeat_with_plan(plan, leaf)
+    if not want_anc:
+        return jax.tree_util.tree_map(rep, X), rep, None
+    leaves, treedef = jax.tree_util.tree_flatten(X)
+    if leaves:
+        y0, A = ops.repeat_with_plan_anc(plan, leaves[0])
+        served = jax.tree_util.tree_unflatten(
+            treedef, [y0] + [rep(leaf) for leaf in leaves[1:]])
     else:
-        rep = lambda leaf: ops.repeat_with_plan(plan, leaf)
-    return jax.tree_util.tree_map(rep, X), rep
+        A = rep(jnp.arange(z.shape[0], dtype=jnp.int32))
+        served = X
+    return served, rep, A
 
 
 def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
@@ -390,12 +406,14 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
             # use_pallas=False under sharding (GSPMD cannot partition a
             # pallas_call).
             z = rs.resampling_z(resampling_scheme, k_rs, aux.W, M=N)
-            Xp, rep = _repeat_z(X, z, N, use_pallas=constrain is None)
-            # ancestors only when the genealogy is consumed: XLA does NOT
-            # dead-code-eliminate pallas custom-calls, so an unconditional
-            # rep(arange) would cost a full kernel launch per step
-            A = (rep(jnp.arange(N, dtype=jnp.int32)) if need_gen
-                 else jnp.arange(N, dtype=jnp.int32))
+            # ancestors only when the genealogy is consumed (need_gen):
+            # XLA does NOT dead-code-eliminate pallas custom-calls, so an
+            # unconditional serve would cost real work per step; when
+            # consumed they come fused out of the first leaf's kernel call
+            Xp, rep, A = _repeat_z(X, z, N, use_pallas=constrain is None,
+                                   want_anc=need_gen)
+            if A is None:
+                A = jnp.arange(N, dtype=jnp.int32)
             if fk.isAPF:
                 reset_lw = rs.log_mean_exp(logetat, W=wgts.W) - rep(logetat)
             else:
@@ -550,11 +568,12 @@ def _step_qmc(fk, carry, t, N, ESSrmin, summaries, constrain=None,
         z = z.at[-1].set(N)
         if not cs_mono:
             z = rs._monotone_z(z)
-        Xp, rep = _repeat_z(X, z, N, use_pallas=use_pallas)
         # ancestor indices are only materialised when something consumes
         # the genealogy (history, genealogy-reading collectors); need_gen
-        # is static
-        A_h = rep(jnp.arange(N, dtype=jnp.int32)) if need_gen else None
+        # is static.  When consumed they come fused out of the first
+        # leaf's kernel call (ops.repeat_with_plan_anc)
+        Xp, rep, A_h = _repeat_z(X, z, N, use_pallas=use_pallas,
+                                 want_anc=need_gen)
         if fk.isAPF:
             lw_reset = rs.log_mean_exp(logetat, W=wgts.W) - rep(logetat)
         else:

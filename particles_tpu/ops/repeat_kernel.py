@@ -56,14 +56,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["repeat_by_counts", "repeat_by_z", "make_repeat_plan",
-           "repeat_with_plan"]
+           "repeat_with_plan", "repeat_with_plan_anc"]
 
 _C = 1024   # outputs per chunk == sources per block
 _R = _C // 128
 
 
-def _repeat_kernel(tref, wref, pref, fref, zT_ref, xT_ref, y_ref):
-    """One (output chunk, source block) visit per grid step."""
+def _repeat_kernel_body(tref, wref, pref, fref, zT_ref, xT_ref, *, anc):
+    """Shared visit body: per-og-row value contributions (and, when
+    ``anc``, ancestor-index contributions — the serving source index is
+    ``wblk*C + rb*128 + c``, already in hand from the two-level select,
+    so the second output costs only (1,128) int arithmetic instead of a
+    second kernel launch)."""
     R = _R
     v = pl.program_id(0)
     j0 = tref[v] * _C
@@ -74,6 +78,7 @@ def _repeat_kernel(tref, wref, pref, fref, zT_ref, xT_ref, y_ref):
     zt = zT_ref[:]   # (128, R): source k = sr*128 + sublane
     xt = xT_ref[:]
     rows = []
+    arows = []
     for og in range(R):
         jrow = j0 + og * 128 + lane
         valid = jrow >= plast
@@ -93,7 +98,20 @@ def _repeat_kernel(tref, wref, pref, fref, zT_ref, xT_ref, y_ref):
         onehot = (sub == c) & valid
         rows.append(jnp.sum(jnp.where(onehot, xrow, 0.0), axis=0,
                             keepdims=True))
+        if anc:
+            # rb == R means every row here is below j (served by a LATER
+            # block): contribute 0, like the never-firing one-hot above
+            a = wref[v] * jnp.int32(_C) + rb * jnp.int32(128) + c
+            arows.append(jnp.where(valid & (rb < R), a, jnp.int32(0)))
     contrib = jnp.concatenate(rows, axis=0)
+    acontrib = jnp.concatenate(arows, axis=0) if anc else None
+    return v, fref, contrib, acontrib
+
+
+def _repeat_kernel(tref, wref, pref, fref, zT_ref, xT_ref, y_ref):
+    """One (output chunk, source block) visit per grid step."""
+    v, fref, contrib, _ = _repeat_kernel_body(
+        tref, wref, pref, fref, zT_ref, xT_ref, anc=False)
 
     @pl.when(fref[v] == 1)
     def _():
@@ -102,6 +120,23 @@ def _repeat_kernel(tref, wref, pref, fref, zT_ref, xT_ref, y_ref):
     @pl.when(fref[v] == 0)
     def _():
         y_ref[:] = y_ref[:] + contrib
+
+
+def _repeat_anc_kernel(tref, wref, pref, fref, zT_ref, xT_ref, y_ref,
+                       a_ref):
+    """Visit kernel emitting the served payload AND the ancestor vector."""
+    v, fref, contrib, acontrib = _repeat_kernel_body(
+        tref, wref, pref, fref, zT_ref, xT_ref, anc=True)
+
+    @pl.when(fref[v] == 1)
+    def _():
+        y_ref[:] = contrib
+        a_ref[:] = acontrib
+
+    @pl.when(fref[v] == 0)
+    def _():
+        y_ref[:] = y_ref[:] + contrib
+        a_ref[:] = a_ref[:] + acontrib
 
 
 class RepeatPlan(NamedTuple):
@@ -207,6 +242,42 @@ def _repeat_pallas(plan_tch, plan_wblk, plan_plast, plan_first, zT, xf, Mp):
     return out.reshape(-1)
 
 
+@functools.partial(jax.jit, static_argnames=("Mp",))
+def _repeat_pallas_anc(plan_tch, plan_wblk, plan_plast, plan_first, zT, xf,
+                       Mp):
+    """xf (Mp,) float32 -> ((Mp,) float32 served values,
+    (Mp,) int32 ancestor indices)."""
+    R = _R
+    nblocks = Mp // _C
+    NV = plan_tch.shape[0]
+    xT = xf.reshape(nblocks, R, 128).swapaxes(1, 2).reshape(nblocks * 128, R)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(NV,),
+        in_specs=[
+            pl.BlockSpec((128, R), lambda v, t, w, p, f: (w[v], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, R), lambda v, t, w, p, f: (w[v], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((R, 128), lambda v, t, w, p, f: (t[v], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda v, t, w, p, f: (t[v], 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    y, a = pl.pallas_call(
+        _repeat_anc_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((Mp // 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Mp // 128, 128), jnp.int32),
+        ),
+        grid_spec=grid_spec,
+    )(plan_tch, plan_wblk, plan_plast, plan_first, zT, xT)
+    return y.reshape(-1), a.reshape(-1)
+
+
 def _on_tpu():
     from particles_tpu.ops.guard import pallas_allowed
 
@@ -261,6 +332,34 @@ def repeat_with_plan(plan, x):
         out = jnp.stack([one_col(x[:, j]) for j in range(x.shape[1])],
                         axis=1)
     return out.astype(x.dtype)
+
+
+def repeat_with_plan_anc(plan, x):
+    """Serve one (N,) payload AND the ancestor-index vector
+    ``A[j] = #{k: z_k <= j}`` in a single fused kernel call.
+
+    The ancestor indices are a byproduct of the two-level select (the
+    serving block/row/rank are already computed for the value one-hot),
+    so this costs ~(1,128) int arithmetic on top of
+    :func:`repeat_with_plan` — versus a full second kernel launch for
+    ``repeat_with_plan(plan, arange(N))`` (~2.6 ms at N=2^20).
+
+    Falls back to two plain serves when the payload is not kernel-
+    routable.  Returns ``(y, A)``.
+    """
+    N = plan.z.shape[0]
+    if not (x.ndim == 1 and _leaf_routable(x, N)):
+        iota = jnp.arange(N, dtype=jnp.int32)
+        return repeat_with_plan(plan, x), repeat_with_plan(plan, iota)
+    pad = plan.Mp - N
+    xf = x.astype(jnp.float32)
+    if pad:
+        xf = jnp.concatenate([xf, jnp.zeros(pad, jnp.float32)])
+    y, a = _repeat_pallas_anc(plan.tch, plan.wblk, plan.plast, plan.first,
+                              plan.zT, xf, plan.Mp)
+    if pad:
+        y, a = y[:N], a[:N]
+    return y.astype(x.dtype), a
 
 
 def repeat_by_z(x, z, M):

@@ -357,6 +357,76 @@ class TestRepeatKernels:
             mk._on_tpu = orig_on_tpu
             mk._merge_pallas.clear_cache()
 
+    @pytest.mark.parametrize("N", [2048, 8192])
+    def test_fused_ancestors(self, N):
+        """repeat_with_plan_anc serves the payload bit-equal to
+        repeat_with_plan AND the ancestor vector A[j] = #{k: z_k <= j}
+        in the same kernel call (interpret mode)."""
+        from jax.experimental import pallas as pl
+        import particles_tpu.ops.repeat_kernel as rk
+
+        orig = pl.pallas_call
+
+        def patched(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        rk.pl.pallas_call = patched
+        orig_on_tpu = rk._on_tpu
+        rk._on_tpu = lambda: True
+        try:
+            rng = np.random.default_rng(N)
+            W = rng.dirichlet(np.ones(N) * 0.2).astype(np.float32)
+            cs = np.cumsum(W)
+            cs /= cs[-1]
+            z = np.clip(np.floor(N * cs - 0.37).astype(np.int32) + 1, 0, N)
+            z = np.maximum.accumulate(z)
+            z[-1] = N
+            zj = jnp.asarray(z)
+            counts = jnp.asarray(np.diff(z, prepend=0).astype(np.int32))
+            plan = rk.make_repeat_plan(zj, N)
+            assert plan is not None
+            iota = jnp.arange(N, dtype=jnp.int32)
+            A_ref = jnp.repeat(iota, counts, total_repeat_length=N)
+            x = jnp.asarray(rng.normal(size=N), jnp.float32)
+            y, A = rk.repeat_with_plan_anc(plan, x)
+            assert bool(jnp.all(y == rk.repeat_with_plan(plan, x)))
+            assert A.dtype == jnp.int32
+            assert bool(jnp.all(A == A_ref))
+            # extreme counts: one source serves everything
+            for pos in (0, N // 2, N - 1):
+                c2 = jnp.zeros(N, jnp.int32).at[pos].set(N)
+                z2 = jnp.cumsum(c2)
+                p2 = rk.make_repeat_plan(z2, N)
+                y2, A2 = rk.repeat_with_plan_anc(p2, x)
+                assert bool(jnp.all(A2 == pos)), pos
+                assert bool(jnp.all(y2 == x[pos])), pos
+            # unaligned N: padding path
+            No = N - 513
+            zo = np.clip(z[:No], 0, No)
+            zo = np.maximum.accumulate(zo)
+            zo[-1] = No
+            zoj = jnp.asarray(zo)
+            co = jnp.asarray(np.diff(zo, prepend=0).astype(np.int32))
+            po = rk.make_repeat_plan(zoj, No)
+            yo, Ao = rk.repeat_with_plan_anc(po, x[:No])
+            assert bool(jnp.all(
+                Ao == jnp.repeat(jnp.arange(No, dtype=jnp.int32), co,
+                                 total_repeat_length=No)))
+            assert bool(jnp.all(
+                yo == jnp.repeat(x[:No], co, total_repeat_length=No)))
+            # non-routable payload falls back but still returns ancestors
+            x2 = jnp.asarray(rng.normal(size=(N, 5)), jnp.float32)
+            y5, A5 = rk.repeat_with_plan_anc(plan, x2)
+            assert bool(jnp.all(A5 == A_ref))
+            assert bool(jnp.all(
+                y5 == jnp.repeat(x2, counts, axis=0, total_repeat_length=N)))
+        finally:
+            rk.pl.pallas_call = orig
+            rk._on_tpu = orig_on_tpu
+            rk._repeat_pallas.clear_cache()
+            rk._repeat_pallas_anc.clear_cache()
+
     def test_v1_fallback_cases(self):
         """d > 3, M != N, and tiny N fall back to jnp.repeat (still exact)."""
         import particles_tpu.ops.repeat_kernel as rk
