@@ -285,19 +285,24 @@ def _repeat(X, counts, M, use_pallas=True):
     )
 
 
-def _repeat_z(X, z, M, use_pallas=True, want_anc=False):
-    """z-form resampling move with one shared plan for every leaf.
+def _repeat_z(X, z, M, use_pallas=True, want_anc=False, extras=()):
+    """z-form resampling move with ONE fused kernel call for every
+    routable leaf.
 
     ``z`` is the inclusive cumsum of offspring counts (a scheme's
-    ``resampling_z`` output): the visit plan and the transposed z are
-    computed once and reused by all state leaves, the APF aux weights and
-    the ancestor iota.  Returns ``(X_served, rep, A)``; ``A`` is the
-    ancestor vector when ``want_anc`` (fused into the first leaf's kernel
-    call — the serving index is a byproduct of the two-level select, see
-    ops.repeat_with_plan_anc — instead of a second full kernel launch),
-    else None.
+    ``resampling_z`` output).  All kernel-routable columns — 1-D state
+    leaves, columns of (N, d<=2) leaves, and the 1-D ``extras`` (the APF
+    aux weights) — are served in one fused pallas_call sharing the
+    z-side select work (~43% marginal cost per extra column, see
+    ops.repeat_with_plan_cols); when ``want_anc`` the ancestor vector
+    rides the same call as a near-free extra output.  Non-routable
+    leaves (d >= 3, exotic dtypes) go through ``jnp.repeat``.
+
+    Returns ``(X_served, rep, A, extras_served)`` with ``A`` None unless
+    ``want_anc``.
     """
     from particles_tpu import ops
+    from particles_tpu.ops import repeat_kernel as rk
 
     plan = ops.make_repeat_plan(z, M) if use_pallas else None
     if plan is None:
@@ -306,19 +311,38 @@ def _repeat_z(X, z, M, use_pallas=True, want_anc=False):
                                       total_repeat_length=M)
         A = (rep(jnp.arange(z.shape[0], dtype=jnp.int32)) if want_anc
              else None)
-        return jax.tree_util.tree_map(rep, X), rep, A
+        return (jax.tree_util.tree_map(rep, X), rep, A,
+                tuple(rep(e) for e in extras))
     rep = lambda leaf: ops.repeat_with_plan(plan, leaf)
-    if not want_anc:
-        return jax.tree_util.tree_map(rep, X), rep, None
+    N = z.shape[0]
     leaves, treedef = jax.tree_util.tree_flatten(X)
-    if leaves:
-        y0, A = ops.repeat_with_plan_anc(plan, leaves[0])
-        served = jax.tree_util.tree_unflatten(
-            treedef, [y0] + [rep(leaf) for leaf in leaves[1:]])
-    else:
-        A = rep(jnp.arange(z.shape[0], dtype=jnp.int32))
-        served = X
-    return served, rep, A
+    all_leaves = list(leaves) + list(extras)
+    cols, col_ix = [], []
+    for leaf in all_leaves:
+        if rk._leaf_routable(leaf, N):
+            if leaf.ndim == 1:
+                col_ix.append([len(cols)])
+                cols.append(leaf)
+            else:
+                col_ix.append(list(range(len(cols),
+                                         len(cols) + leaf.shape[1])))
+                cols.extend(leaf[:, j] for j in range(leaf.shape[1]))
+        else:
+            col_ix.append(None)
+    served_cols, A = ops.repeat_with_plan_cols(plan, cols,
+                                               want_anc=want_anc)
+    served_all = []
+    for leaf, ix in zip(all_leaves, col_ix):
+        if ix is None:
+            served_all.append(rep(leaf))
+        elif leaf.ndim == 1:
+            served_all.append(served_cols[ix[0]])
+        else:
+            served_all.append(
+                jnp.stack([served_cols[j] for j in ix], axis=1))
+    n_state = len(leaves)
+    X_served = jax.tree_util.tree_unflatten(treedef, served_all[:n_state])
+    return X_served, rep, A, tuple(served_all[n_state:])
 
 
 def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
@@ -409,13 +433,16 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
             # ancestors only when the genealogy is consumed (need_gen):
             # XLA does NOT dead-code-eliminate pallas custom-calls, so an
             # unconditional serve would cost real work per step; when
-            # consumed they come fused out of the first leaf's kernel call
-            Xp, rep, A = _repeat_z(X, z, N, use_pallas=constrain is None,
-                                   want_anc=need_gen)
+            # consumed they ride the state's fused kernel call, as does
+            # the APF aux-weight payload
+            Xp, rep, A, served_extra = _repeat_z(
+                X, z, N, use_pallas=constrain is None, want_anc=need_gen,
+                extras=(logetat,) if fk.isAPF else ())
             if A is None:
                 A = jnp.arange(N, dtype=jnp.int32)
             if fk.isAPF:
-                reset_lw = rs.log_mean_exp(logetat, W=wgts.W) - rep(logetat)
+                reset_lw = (rs.log_mean_exp(logetat, W=wgts.W)
+                            - served_extra[0])
             else:
                 reset_lw = jnp.zeros(N, dtype=lw.dtype)
         else:
@@ -570,12 +597,14 @@ def _step_qmc(fk, carry, t, N, ESSrmin, summaries, constrain=None,
             z = rs._monotone_z(z)
         # ancestor indices are only materialised when something consumes
         # the genealogy (history, genealogy-reading collectors); need_gen
-        # is static.  When consumed they come fused out of the first
-        # leaf's kernel call (ops.repeat_with_plan_anc)
-        Xp, rep, A_h = _repeat_z(X, z, N, use_pallas=use_pallas,
-                                 want_anc=need_gen)
+        # is static.  When consumed they ride the state's fused kernel
+        # call, as does the APF aux-weight payload
+        Xp, rep, A_h, served_extra = _repeat_z(
+            X, z, N, use_pallas=use_pallas, want_anc=need_gen,
+            extras=(logetat,) if fk.isAPF else ())
         if fk.isAPF:
-            lw_reset = rs.log_mean_exp(logetat, W=wgts.W) - rep(logetat)
+            lw_reset = (rs.log_mean_exp(logetat, W=wgts.W)
+                        - served_extra[0])
         else:
             lw_reset = jnp.zeros(N, dtype=lw.dtype)
 

@@ -14,4 +14,5 @@ from particles_tpu.ops.repeat_kernel import (  # noqa: F401
     repeat_by_z,
     repeat_with_plan,
     repeat_with_plan_anc,
+    repeat_with_plan_cols,
 )

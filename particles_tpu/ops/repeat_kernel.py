@@ -39,10 +39,11 @@ Gating inside the kernel: a j served by an earlier block fails
 ``j >= prev_last``; one served by a later block sees all rows below so
 the z-row select leaves INT32_MAX and the one-hot never fires (the
 contribution is the 0.0 default).  Inputs of any 1-D length are
-zero-padded to a block multiple; float32/int32 (N,) and single-column
-(N, 1) payloads route here (wider payloads fall back to ``jnp.repeat``,
-whose 2-D row form is cheaper than per-column kernel calls — see
-``_MAX_COLS``).
+zero-padded to a block multiple; float32/int32 (N,) and (N, d <= 2)
+payloads route here with columns FUSED into one call (wider payloads
+fall back to ``jnp.repeat``, whose 2-D row form amortises by d >= 3 —
+see ``_MAX_COLS``); the ancestor-index vector can ride any fused call
+as a near-free extra output (``repeat_with_plan_anc`` / ``_cols``).
 """
 
 from __future__ import annotations
@@ -56,87 +57,85 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["repeat_by_counts", "repeat_by_z", "make_repeat_plan",
-           "repeat_with_plan", "repeat_with_plan_anc"]
+           "repeat_with_plan", "repeat_with_plan_anc",
+           "repeat_with_plan_cols"]
 
 _C = 1024   # outputs per chunk == sources per block
 _R = _C // 128
 
 
-def _repeat_kernel_body(tref, wref, pref, fref, zT_ref, xT_ref, *, anc):
-    """Shared visit body: per-og-row value contributions (and, when
-    ``anc``, ancestor-index contributions — the serving source index is
-    ``wblk*C + rb*128 + c``, already in hand from the two-level select,
-    so the second output costs only (1,128) int arithmetic instead of a
-    second kernel launch)."""
-    R = _R
-    v = pl.program_id(0)
-    j0 = tref[v] * _C
-    plast = pref[v]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
-    INT_MAX = jnp.int32(2**31 - 1)
-    zt = zT_ref[:]   # (128, R): source k = sr*128 + sublane
-    xt = xT_ref[:]
-    rows = []
-    arows = []
-    for og in range(R):
-        jrow = j0 + og * 128 + lane
-        valid = jrow >= plast
-        # level 1: source rows fully below j ((1,128) compares, negligible)
-        rb = jnp.zeros((1, 128), jnp.int32)
-        for sr in range(R):
-            rb = rb + (zt[127, sr] <= jrow).astype(jnp.int32)
-        # materialise the boundary row (z and x) per output lane
-        zrow = jnp.full((128, 128), INT_MAX)
-        xrow = jnp.zeros((128, 128), jnp.float32)
-        for sr in range(R):
-            m = rb == sr  # (1,128) mask, broadcast down sublanes
-            zrow = jnp.where(m, zt[:, sr:sr + 1], zrow)
-            xrow = jnp.where(m, xt[:, sr:sr + 1], xrow)
-        # level 2: in-row rank + one-hot value select
-        c = jnp.sum((zrow <= jrow).astype(jnp.int32), axis=0, keepdims=True)
-        onehot = (sub == c) & valid
-        rows.append(jnp.sum(jnp.where(onehot, xrow, 0.0), axis=0,
-                            keepdims=True))
-        if anc:
-            # rb == R means every row here is below j (served by a LATER
-            # block): contribute 0, like the never-firing one-hot above
-            a = wref[v] * jnp.int32(_C) + rb * jnp.int32(128) + c
-            arows.append(jnp.where(valid & (rb < R), a, jnp.int32(0)))
-    contrib = jnp.concatenate(rows, axis=0)
-    acontrib = jnp.concatenate(arows, axis=0) if anc else None
-    return v, fref, contrib, acontrib
+def _make_visit_kernel(P, anc):
+    """Visit-kernel factory for ``P`` fused payloads (plus, when ``anc``,
+    the ancestor-index output).
 
+    The z-side work (jrow/valid, level-1 row count, zrow materialise,
+    in-row rank, one-hot) is computed ONCE and shared by all payloads —
+    each extra payload adds only its xrow materialise (R wheres) and
+    one select-sum, ~43% of a standalone call.  The ancestor output is
+    cheaper still: the serving source index is ``wblk*C + rb*128 + c``,
+    already in hand from the select, so it costs three (1,128) int ops."""
 
-def _repeat_kernel(tref, wref, pref, fref, zT_ref, xT_ref, y_ref):
-    """One (output chunk, source block) visit per grid step."""
-    v, fref, contrib, _ = _repeat_kernel_body(
-        tref, wref, pref, fref, zT_ref, xT_ref, anc=False)
+    def kernel(tref, wref, pref, fref, zT_ref, *refs):
+        xrefs = refs[:P]
+        yrefs = refs[P:2 * P]
+        a_ref = refs[2 * P] if anc else None
+        R = _R
+        v = pl.program_id(0)
+        j0 = tref[v] * _C
+        plast = pref[v]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+        INT_MAX = jnp.int32(2**31 - 1)
+        zt = zT_ref[:]   # (128, R): source k = sr*128 + sublane
+        xts = [r[:] for r in xrefs]
+        rows = [[] for _ in range(P)]
+        arows = []
+        for og in range(R):
+            jrow = j0 + og * 128 + lane
+            valid = jrow >= plast
+            # level 1: source rows fully below j ((1,128) compares)
+            rb = jnp.zeros((1, 128), jnp.int32)
+            for sr in range(R):
+                rb = rb + (zt[127, sr] <= jrow).astype(jnp.int32)
+            # materialise the boundary row (z and every x) per output lane
+            zrow = jnp.full((128, 128), INT_MAX)
+            xrows = [jnp.zeros((128, 128), jnp.float32) for _ in range(P)]
+            for sr in range(R):
+                m = rb == sr  # (1,128) mask, broadcast down sublanes
+                zrow = jnp.where(m, zt[:, sr:sr + 1], zrow)
+                for p in range(P):
+                    xrows[p] = jnp.where(m, xts[p][:, sr:sr + 1], xrows[p])
+            # level 2: in-row rank + one-hot value select (shared)
+            c = jnp.sum((zrow <= jrow).astype(jnp.int32), axis=0,
+                        keepdims=True)
+            onehot = (sub == c) & valid
+            for p in range(P):
+                rows[p].append(jnp.sum(jnp.where(onehot, xrows[p], 0.0),
+                                       axis=0, keepdims=True))
+            if anc:
+                # rb == R means every row here is below j (served by a
+                # LATER block): contribute 0, like the never-firing
+                # one-hot above
+                a = wref[v] * jnp.int32(_C) + rb * jnp.int32(128) + c
+                arows.append(jnp.where(valid & (rb < R), a, jnp.int32(0)))
+        contribs = [jnp.concatenate(r, axis=0) for r in rows]
+        acontrib = jnp.concatenate(arows, axis=0) if anc else None
 
-    @pl.when(fref[v] == 1)
-    def _():
-        y_ref[:] = contrib
+        @pl.when(fref[v] == 1)
+        def _():
+            for p in range(P):
+                yrefs[p][:] = contribs[p]
+            if anc:
+                a_ref[:] = acontrib
 
-    @pl.when(fref[v] == 0)
-    def _():
-        y_ref[:] = y_ref[:] + contrib
+        @pl.when(fref[v] == 0)
+        def _():
+            for p in range(P):
+                yrefs[p][:] = yrefs[p][:] + contribs[p]
+            if anc:
+                a_ref[:] = a_ref[:] + acontrib
 
-
-def _repeat_anc_kernel(tref, wref, pref, fref, zT_ref, xT_ref, y_ref,
-                       a_ref):
-    """Visit kernel emitting the served payload AND the ancestor vector."""
-    v, fref, contrib, acontrib = _repeat_kernel_body(
-        tref, wref, pref, fref, zT_ref, xT_ref, anc=True)
-
-    @pl.when(fref[v] == 1)
-    def _():
-        y_ref[:] = contrib
-        a_ref[:] = acontrib
-
-    @pl.when(fref[v] == 0)
-    def _():
-        y_ref[:] = y_ref[:] + contrib
-        a_ref[:] = a_ref[:] + acontrib
+    return kernel
 
 
 class RepeatPlan(NamedTuple):
@@ -215,67 +214,40 @@ def make_repeat_plan(z, M):
     return RepeatPlan(tch, wblk, plast, first, zT, z, M, Mp)
 
 
-@functools.partial(jax.jit, static_argnames=("Mp",))
-def _repeat_pallas(plan_tch, plan_wblk, plan_plast, plan_first, zT, xf, Mp):
-    """xf (Mp,) float32 -> (Mp,) float32."""
+@functools.partial(jax.jit, static_argnames=("Mp", "anc"))
+def _repeat_pallas_n(plan_tch, plan_wblk, plan_plast, plan_first, zT, xfs,
+                     Mp, anc=False):
+    """xfs: tuple of P (Mp,) float32 payloads -> tuple of P (Mp,) served
+    float32 arrays (+ one (Mp,) int32 ancestor array when ``anc``) — one
+    fused pallas_call sharing the z-side select work."""
     R = _R
     nblocks = Mp // _C
     NV = plan_tch.shape[0]
-    xT = xf.reshape(nblocks, R, 128).swapaxes(1, 2).reshape(nblocks * 128, R)
+    P = len(xfs)
+    xTs = [xf.reshape(nblocks, R, 128).swapaxes(1, 2)
+           .reshape(nblocks * 128, R) for xf in xfs]
+    src_spec = pl.BlockSpec((128, R), lambda v, t, w, p, f: (w[v], 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((R, 128), lambda v, t, w, p, f: (t[v], 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((Mp // 128, 128), jnp.float32)
+                 for _ in range(P)]
+    out_specs = [out_spec] * P
+    if anc:
+        out_shape.append(jax.ShapeDtypeStruct((Mp // 128, 128), jnp.int32))
+        out_specs.append(out_spec)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(NV,),
-        in_specs=[
-            pl.BlockSpec((128, R), lambda v, t, w, p, f: (w[v], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, R), lambda v, t, w, p, f: (w[v], 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((R, 128), lambda v, t, w, p, f: (t[v], 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[src_spec] * (1 + P),
+        out_specs=tuple(out_specs),
     )
-    out = pl.pallas_call(
-        _repeat_kernel,
-        out_shape=jax.ShapeDtypeStruct((Mp // 128, 128), jnp.float32),
+    outs = pl.pallas_call(
+        _make_visit_kernel(P, anc),
+        out_shape=tuple(out_shape),
         grid_spec=grid_spec,
-    )(plan_tch, plan_wblk, plan_plast, plan_first, zT, xT)
-    return out.reshape(-1)
-
-
-@functools.partial(jax.jit, static_argnames=("Mp",))
-def _repeat_pallas_anc(plan_tch, plan_wblk, plan_plast, plan_first, zT, xf,
-                       Mp):
-    """xf (Mp,) float32 -> ((Mp,) float32 served values,
-    (Mp,) int32 ancestor indices)."""
-    R = _R
-    nblocks = Mp // _C
-    NV = plan_tch.shape[0]
-    xT = xf.reshape(nblocks, R, 128).swapaxes(1, 2).reshape(nblocks * 128, R)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(NV,),
-        in_specs=[
-            pl.BlockSpec((128, R), lambda v, t, w, p, f: (w[v], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, R), lambda v, t, w, p, f: (w[v], 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((R, 128), lambda v, t, w, p, f: (t[v], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda v, t, w, p, f: (t[v], 0),
-                         memory_space=pltpu.VMEM),
-        ),
-    )
-    y, a = pl.pallas_call(
-        _repeat_anc_kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((Mp // 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((Mp // 128, 128), jnp.int32),
-        ),
-        grid_spec=grid_spec,
-    )(plan_tch, plan_wblk, plan_plast, plan_first, zT, xT)
-    return y.reshape(-1), a.reshape(-1)
+    )(plan_tch, plan_wblk, plan_plast, plan_first, zT, *xTs)
+    return tuple(o.reshape(-1) for o in outs)
 
 
 def _on_tpu():
@@ -284,13 +256,18 @@ def _on_tpu():
     return pallas_allowed() and jax.default_backend() in ("tpu", "axon")
 
 
-# Max trailing dim routed column-wise through the kernel.  Measured on v5e
-# at N=2^20 (hoisted-plan chain, value-forced, round 2b): XLA's 2-D
-# row-repeat is much cheaper than its 1-D form (d=1..6 jnp.repeat: 8.8 /
-# 5.9 / 5.9 / 5.8 / 4.9 ms/iter), so per-column kernel calls (3.8 / 6.5 /
-# 9.3 ms at d=1/2/3) only win for a single column — route d >= 2 to
-# jnp.repeat.
-_MAX_COLS = 1
+# Max trailing dim routed through the kernel (columns FUSED in one call
+# sharing the z-side select — see _make_visit_kernel).  Measured on v5e
+# at N=2^20 (hoisted-plan chain, value-forced, round 3): fused kernel
+# 3.62 / 5.28 / 6.94 / 8.96 ms at P=1..4 (~1.7 ms marginal column, 46%
+# of a solo call) vs jnp.repeat 2-D row-form 9.9 / 7.3 / 5.4 / 5.4 —
+# the kernel wins at d <= 2, XLA's row-repeat amortises by d >= 3.
+_MAX_COLS = 2
+
+# Fused-call column cap: each extra column is always cheaper than a
+# separate kernel launch (1.7 vs 3.6 ms), but VMEM per visit and Mosaic
+# compile time grow with P — chunk larger batches.
+_MAX_FUSE = 8
 
 
 def _leaf_routable(x, N):
@@ -307,31 +284,21 @@ def _leaf_routable(x, N):
 def repeat_with_plan(plan, x):
     """Apply a :class:`RepeatPlan` to one payload array.
 
-    Routes (N,) and (N, d <= _MAX_COLS) float32/int32 payloads through the
-    Pallas kernel (columns share the plan); anything else falls back to
-    ``jnp.repeat`` with counts recovered from ``plan.z`` (measured cheaper
-    for multi-column payloads — XLA's 2-D row-repeat amortises).
+    Routes (N,) and (N, d <= _MAX_COLS) float32/int32 payloads through
+    the Pallas kernel (columns FUSED into one call sharing the z-side
+    select); anything else falls back to ``jnp.repeat`` with counts
+    recovered from ``plan.z`` (measured cheaper for d >= 3 — XLA's 2-D
+    row-repeat amortises).
     """
     N = plan.z.shape[0]
     if not _leaf_routable(x, N):
         counts = jnp.diff(plan.z, prepend=jnp.zeros(1, jnp.int32))
         return jnp.repeat(x, counts, axis=0, total_repeat_length=plan.M)
-    pad = plan.Mp - N
-
-    def one_col(col):
-        xf = col.astype(jnp.float32)
-        if pad:
-            xf = jnp.concatenate([xf, jnp.zeros(pad, jnp.float32)])
-        out = _repeat_pallas(plan.tch, plan.wblk, plan.plast, plan.first,
-                             plan.zT, xf, plan.Mp)
-        return out[:N] if pad else out
-
     if x.ndim == 1:
-        out = one_col(x)
-    else:
-        out = jnp.stack([one_col(x[:, j]) for j in range(x.shape[1])],
-                        axis=1)
-    return out.astype(x.dtype)
+        (out,), _ = repeat_with_plan_cols(plan, [x])
+        return out
+    cols, _ = repeat_with_plan_cols(plan, [x[:, j] for j in range(x.shape[1])])
+    return jnp.stack(cols, axis=1)
 
 
 def repeat_with_plan_anc(plan, x):
@@ -349,17 +316,54 @@ def repeat_with_plan_anc(plan, x):
     """
     N = plan.z.shape[0]
     if not (x.ndim == 1 and _leaf_routable(x, N)):
-        iota = jnp.arange(N, dtype=jnp.int32)
-        return repeat_with_plan(plan, x), repeat_with_plan(plan, iota)
+        (_, A) = repeat_with_plan_cols(plan, [], want_anc=True)
+        return repeat_with_plan(plan, x), A
+    (y,), A = repeat_with_plan_cols(plan, [x], want_anc=True)
+    return y, A
+
+
+def repeat_with_plan_cols(plan, cols, want_anc=False):
+    """Serve several (N,) payload columns in ONE fused kernel call
+    (shared z-side select work — each extra column costs ~43% of a
+    standalone call), optionally with the ancestor vector.
+
+    ``cols`` is a sequence of kernel-routable (N,) arrays (f32/int32;
+    the caller checks routability); batches larger than ``_MAX_FUSE``
+    are chunked, the ancestor output riding the first chunk.  Returns
+    ``(served_list, A_or_None)``.
+    """
+    N = plan.z.shape[0]
     pad = plan.Mp - N
-    xf = x.astype(jnp.float32)
-    if pad:
-        xf = jnp.concatenate([xf, jnp.zeros(pad, jnp.float32)])
-    y, a = _repeat_pallas_anc(plan.tch, plan.wblk, plan.plast, plan.first,
-                              plan.zT, xf, plan.Mp)
-    if pad:
-        y, a = y[:N], a[:N]
-    return y.astype(x.dtype), a
+    served, A = [], None
+    for s in range(0, max(len(cols), 1), _MAX_FUSE):
+        chunk = list(cols[s:s + _MAX_FUSE])
+        anc_here = want_anc and s == 0
+        if not chunk:
+            if not anc_here:
+                break
+            # ancestors with no payload: serve the iota as the value
+            chunk = [jnp.arange(N, dtype=jnp.int32)]
+            drop_value = True
+        else:
+            drop_value = False
+        xfs = []
+        for x in chunk:
+            xf = x.astype(jnp.float32)
+            if pad:
+                xf = jnp.concatenate([xf, jnp.zeros(pad, jnp.float32)])
+            xfs.append(xf)
+        outs = _repeat_pallas_n(plan.tch, plan.wblk, plan.plast,
+                                plan.first, plan.zT, tuple(xfs), plan.Mp,
+                                anc=anc_here)
+        if anc_here:
+            A = outs[-1][:N] if pad else outs[-1]
+            outs = outs[:-1]
+        if not drop_value:
+            served.extend(
+                (o[:N] if pad else o).astype(x.dtype)
+                for o, x in zip(outs, chunk)
+            )
+    return served, A
 
 
 def repeat_by_z(x, z, M):

@@ -313,7 +313,7 @@ class TestRepeatKernels:
         finally:
             rk.pl.pallas_call = orig
             rk._on_tpu = orig_on_tpu
-            rk._repeat_pallas.clear_cache()
+            rk._repeat_pallas_n.clear_cache()
 
     @pytest.mark.parametrize("N", [1024, 4096])
     def test_merge_rank_kernel_matches_sort(self, N):
@@ -424,8 +424,7 @@ class TestRepeatKernels:
         finally:
             rk.pl.pallas_call = orig
             rk._on_tpu = orig_on_tpu
-            rk._repeat_pallas.clear_cache()
-            rk._repeat_pallas_anc.clear_cache()
+            rk._repeat_pallas_n.clear_cache()
 
     def test_v1_fallback_cases(self):
         """d > 3, M != N, and tiny N fall back to jnp.repeat (still exact)."""
@@ -488,7 +487,7 @@ class TestRepeatKernels:
         finally:
             rk.pl.pallas_call = orig
             rk._on_tpu = orig_on_tpu
-            rk._repeat_pallas.clear_cache()
+            rk._repeat_pallas_n.clear_cache()
 
 
 
