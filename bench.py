@@ -270,6 +270,62 @@ def measure_device():
         out.update(_with_alarm(anatomy, 420))
     except TimeoutError:
         out["anatomy"] = "timed out"
+
+    # round-3 production shapes: history-enabled run (the state serve,
+    # the ancestor vector and the frame stacking all in-step — what
+    # smoothing pipelines pay) and an APF (aux-weight serve fused with
+    # the state's kernel call)
+    def extra_shapes():
+        import jax
+        import numpy as np
+
+        from particles_tpu import core
+        from particles_tpu import state_space_models as ssms
+
+        Tx = 100
+        fkh = _build(Tx)
+
+        @jax.jit
+        def run_hist(fk, key):
+            carry, _, hist = core._run_full(
+                fk, key, N, Tx, False, "systematic", 1.1, None, True)
+            return carry.logLt
+
+        float(run_hist(fkh, jax.random.key(0)))
+        el_h = float("inf")
+        for r in range(1, 3):
+            t0 = time.perf_counter()
+            float(run_hist(fkh, jax.random.key(r)))
+            el_h = min(el_h, time.perf_counter() - t0)
+
+        # reference-default params: with larger sigma the Pitt-Shephard
+        # logeta approximation explodes in the deep-negative-vol tail and
+        # the APF degenerates (measured: logLt -1.7e6 at N=2^20, sigma=0.3)
+        ssm = ssms.StochVol()
+        _, data = ssm.simulate(jax.random.PRNGKey(7), Tx)
+        fka = ssms.AuxiliaryBootstrap(ssm=ssm, data=data)
+
+        @jax.jit
+        def run_apf(fk, key):
+            carry, _, _ = core._run_full(
+                fk, key, N, Tx, False, "systematic", 1.1, None, False)
+            return carry.logLt
+
+        assert np.isfinite(float(run_apf(fka, jax.random.key(0))))
+        el_a = float("inf")
+        for r in range(1, 3):
+            t0 = time.perf_counter()
+            float(run_apf(fka, jax.random.key(r)))
+            el_a = min(el_a, time.perf_counter() - t0)
+        return {
+            "hist_step_ms": round(el_h / Tx * 1e3, 3),
+            "apf_step_ms": round(el_a / Tx * 1e3, 3),
+        }
+
+    try:
+        out.update(_with_alarm(extra_shapes, 420))
+    except Exception as e:  # noqa: BLE001 — keep the headline alive
+        out["extra_shapes"] = f"failed: {type(e).__name__}"
     return out
 
 

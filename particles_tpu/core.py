@@ -418,7 +418,7 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
             A = shard * N + jnp.arange(N, dtype=jnp.int32)
         Xp = served["x"]
         if fk.isAPF:
-            reset_lw = rs.log_mean_exp(logetat, W=wgts.W) - served["eta"]
+            reset_lw = rs.log_mean_exp(logetat, lw=wgts.lw) - served["eta"]
         else:
             reset_lw = jnp.zeros(N, dtype=lw.dtype)
         return Xp, reset_lw, A
@@ -441,7 +441,7 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
             if A is None:
                 A = jnp.arange(N, dtype=jnp.int32)
             if fk.isAPF:
-                reset_lw = (rs.log_mean_exp(logetat, W=wgts.W)
+                reset_lw = (rs.log_mean_exp(logetat, lw=wgts.lw)
                             - served_extra[0])
             else:
                 reset_lw = jnp.zeros(N, dtype=lw.dtype)
@@ -449,7 +449,7 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
             A = rs.resampling(resampling_scheme, k_rs, aux.W, M=N)
             Xp = _gather(X, A)
             if fk.isAPF:
-                reset_lw = rs.log_mean_exp(logetat, W=wgts.W) - jnp.take(
+                reset_lw = rs.log_mean_exp(logetat, lw=wgts.lw) - jnp.take(
                     logetat, A
                 )
             else:
@@ -570,7 +570,7 @@ def _step_qmc(fk, carry, t, N, ESSrmin, summaries, constrain=None,
             A_h = None
         Xp = served["x"]
         if fk.isAPF:
-            lw_reset = rs.log_mean_exp(logetat, W=wgts.W) - served["eta"]
+            lw_reset = rs.log_mean_exp(logetat, lw=wgts.lw) - served["eta"]
         else:
             lw_reset = jnp.zeros(N, dtype=lw.dtype)
     else:
@@ -603,7 +603,7 @@ def _step_qmc(fk, carry, t, N, ESSrmin, summaries, constrain=None,
             X, z, N, use_pallas=use_pallas, want_anc=need_gen,
             extras=(logetat,) if fk.isAPF else ())
         if fk.isAPF:
-            lw_reset = (rs.log_mean_exp(logetat, W=wgts.W)
+            lw_reset = (rs.log_mean_exp(logetat, lw=wgts.lw)
                         - served_extra[0])
         else:
             lw_reset = jnp.zeros(N, dtype=lw.dtype)

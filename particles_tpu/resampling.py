@@ -113,19 +113,34 @@ def _dist_sum(s):
     return jax.lax.psum(s, ctx.axis) if ctx is not None else s
 
 
-def log_mean_exp(v, W=None):
+def log_mean_exp(v, W=None, lw=None):
     """log of the (possibly weighted) average of exp(v) (resampling.py:291-317).
 
-    Under a :mod:`particles_tpu.distctx` context, ``v`` (and ``W``) are the
-    local shard slices and the mean/weighted-sum is global.
+    Pass ``lw`` (unnormalised log-weights) instead of ``W`` when available:
+    ``logsumexp(v + lw) - logsumexp(lw)`` is exact in log space, whereas a
+    normalised ``W`` has already lost every particle whose weight
+    underflowed to 0 in f32 (lw spread > ~88).
+
+    Under a :mod:`particles_tpu.distctx` context, ``v`` (and ``W``/``lw``)
+    are the local shard slices and the mean/weighted-sum is global.
     """
     ctx = distctx.current()
-    m = _dist_max(v)
-    V = jnp.exp(v - m)
-    if W is None:
+    if W is None and lw is None:
+        m = _dist_max(v)
         n = v.shape[0] * (ctx.D if ctx is not None else 1)
-        return m + jnp.log(_dist_sum(jnp.sum(V)) / n)
-    return m + jnp.log(_dist_sum(jnp.sum(W * V)))
+        return m + jnp.log(_dist_sum(jnp.sum(jnp.exp(v - m))) / n)
+    # Stabilise by max(v + log w), NOT max(v) — in f32 the max-v particle
+    # can carry ~zero weight (APF logeta is anti-correlated with the carry
+    # weights), and then every w*exp(v - max v) term underflows and the
+    # sum collapses to 0 -> -inf.  The reference runs float64 and never
+    # sees this.
+    s = v + (jnp.log(W) if lw is None else lw)
+    m = _dist_max(s)
+    out = m + jnp.log(_dist_sum(jnp.sum(jnp.exp(s - m))))
+    if lw is None:
+        return out
+    ml = _dist_max(lw)
+    return out - (ml + jnp.log(_dist_sum(jnp.sum(jnp.exp(lw - ml)))))
 
 
 def wmean_and_var(W, x):

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 import particles_tpu as particles
 from particles_tpu import collectors
+from particles_tpu import core
 from particles_tpu import kalman
 from particles_tpu import state_space_models as ssms
 
@@ -152,6 +153,28 @@ class TestBootstrapVsKalman:
              for s in range(10)]
         )
         assert guided < boot
+
+
+class TestScaleRegressions:
+    def test_apf_stochvol_large_n(self):
+        """f32 regression (found at N>=2^17 on every backend): StochVol's
+        Pitt-Shephard logeta reaches ~+90 in the deep-vol tail while the
+        corresponding carry weights are ~exp(-120); the APF reset weight
+        log_mean_exp(logeta, W) then underflowed to -inf under max(v)
+        stabilisation, nuking every particle.  Assert the production-size
+        run stays finite and agrees with a small-N run."""
+        Tx = 60
+        ssm = ssms.StochVol()
+        _, data = ssm.simulate(jax.random.PRNGKey(7), Tx)
+        fk = ssms.AuxiliaryBootstrap(ssm=ssm, data=data)
+        lls = {}
+        for N in (2048, 1 << 17):
+            carry, _, _ = core._run_full(
+                fk, jax.random.key(0), N, Tx, False, "systematic", 1.1,
+                None, False)
+            lls[N] = float(carry.logLt)
+            assert np.isfinite(lls[N]), (N, lls[N])
+        assert abs(lls[1 << 17] - lls[2048]) < 2.0, lls
 
 
 class TestEngineBehaviour:

@@ -49,6 +49,33 @@ class TestLogSpace:
             rtol=1e-5,
         )
 
+    def test_log_mean_exp_weighted_anticorrelated(self):
+        # f32 regression: the max-v element carries ~zero weight (the APF
+        # logeta pattern).  Stabilising by max(v) alone underflows every
+        # W*exp(v - max) term and returns -inf; the correct answer is
+        # dominated by the bulk at v=0 with W ~ 1.
+        v = jnp.concatenate([jnp.zeros(999), jnp.array([105.0])])
+        W = jnp.concatenate(
+            [jnp.full(999, 1.0 / 999.0), jnp.array([0.0])])
+        out = float(rs.log_mean_exp(v, W=W))
+        np.testing.assert_allclose(out, 0.0, atol=1e-3)
+
+    def test_log_mean_exp_lw_variant(self):
+        # lw= is exact even when the normalised W would underflow to 0:
+        # the spike at v=200 carries lw=-150, so W=exp(-150)/Z == 0 in f32
+        # but v+lw=50 dominates the true weighted mean.
+        v = jnp.concatenate([jnp.zeros(999), jnp.array([200.0])])
+        lw = jnp.concatenate([jnp.zeros(999), jnp.array([-150.0])])
+        out = float(rs.log_mean_exp(v, lw=lw))
+        oracle = np.log((999.0 + np.exp(50.0)) / 999.0)
+        np.testing.assert_allclose(out, oracle, rtol=1e-5)
+        # and it agrees with the W= form where both are representable
+        v = jnp.array([0.0, 1.0, 2.0])
+        W = jnp.array([0.5, 0.3, 0.2])
+        np.testing.assert_allclose(
+            float(rs.log_mean_exp(v, lw=jnp.log(W))),
+            float(rs.log_mean_exp(v, W=W)), rtol=1e-5)
+
     def test_exp_and_normalise(self):
         lw = jnp.array([-500.0, -501.0, -499.0])
         W = rs.exp_and_normalise(lw)
