@@ -97,6 +97,12 @@ def hilbert_array(xint, nbits=None):
     return hilbert_index(xint, nbits)
 
 
+def invlogit(x):
+    """Logistic CDF (reference hilbert.py exposes the same helper used by
+    its ``hilbert_sort`` preprocessing)."""
+    return jax.nn.sigmoid(x)
+
+
 def _standardise_and_integerise(x, nbits):
     """Reference ``hilbert_sort`` preprocessing (hilbert.py:33-57):
     standardise each coordinate, squash through the logistic CDF, then

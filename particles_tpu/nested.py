@@ -24,8 +24,17 @@ from particles_tpu import resampling as rs
 from particles_tpu import smc_samplers as ssps
 from particles_tpu import utils
 
-__all__ = ["NestedSampling", "Nested_RWmoves", "NestedSamplingSMC",
-           "MeanCovTracker", "unif_minus_one"]
+__all__ = ["NestedParticles", "NestedSampling", "Nested_RWmoves",
+           "NestedSamplingSMC", "MeanCovTracker", "unif_minus_one"]
+
+
+class NestedParticles(ssps.ThetaParticles):
+    """Container for nested-sampling points (reference nested.py:147-152):
+    parameters plus per-point log-prior and log-likelihood fields."""
+
+    def __init__(self, theta=None, lprior=None, llik=None, shared=None):
+        super().__init__(theta=theta, shared=shared, lprior=lprior,
+                         llik=llik)
 
 
 def unif_minus_one(key, N, m):

@@ -192,6 +192,23 @@ def _clamp(u):
     return jnp.clip(u, eps, 1.0 - eps)
 
 
+def safe_generate(N, d, engine_cls):
+    """Generate N points from a scipy-style QMC engine, squeezed strictly
+    inside (0, 1) (reference rqmc.py:8-12: ``0.5 + (1 - TOL)*(u - 0.5)``).
+
+    ``engine_cls`` is instantiated as ``engine_cls(d)`` and must expose
+    ``.random(N)`` (the ``scipy.stats.qmc`` protocol); a bare callable
+    ``engine_cls(d)(N)`` is accepted too.  Host-side API-parity helper —
+    the jit-capable TPU generators are :func:`sobol` / :func:`halton`.
+    """
+    import numpy as _np
+
+    eng = engine_cls(d)
+    u = eng.random(N) if hasattr(eng, "random") else eng(N)
+    tol = 1e-10
+    return 0.5 + (1.0 - tol) * (_np.asarray(u) - 0.5)
+
+
 def sobol(key, N, d, scramble="lms_shift", start=0, count=None):
     """Scrambled Sobol points: (N, d) in (0, 1) (counterpart of reference
     ``sobol``, rqmc.py:14-15, whose scipy backend uses LMS + shift).

@@ -17,8 +17,9 @@ import jax
 
 from particles_tpu.utils.struct import KwPytree, Pytree  # noqa: F401
 
-__all__ = ["timer", "cartesian_args", "add_to_dict", "multiplexer",
-           "distinct_seeds", "Pytree", "KwPytree"]
+__all__ = ["timer", "cartesian_args", "cartesian_lists", "add_to_dict",
+           "multiplexer", "distinct_seeds", "distribute_work", "worker",
+           "seeder", "Pytree", "KwPytree"]
 
 
 def timer(method):
@@ -78,6 +79,75 @@ def cartesian_args(args):
         labels_list.append(labels)
         values_list.append(values)
     return labels_list, values_list
+
+
+def cartesian_lists(d):
+    """Turn a dict of lists into the list of dicts of their cartesian
+    product (reference utils.py:92-107).
+
+    ``cartesian_lists({'a': [0, 2], 'b': [3, 4]})`` returns
+    ``[{'a': 0, 'b': 3}, {'a': 0, 'b': 4}, {'a': 2, 'b': 3},
+    {'a': 2, 'b': 4}]``.
+    """
+    return [
+        {k: v for k, v in zip(d.keys(), args)}
+        for args in itertools.product(*d.values())
+    ]
+
+
+def worker(qin, qout, f):
+    """Queue worker (reference utils.py:145-155): repeatedly pull
+    ``(i, args)`` from ``qin`` and push ``(i, f(**args))`` to ``qout``
+    until a ``(None, None)`` sentinel arrives."""
+    while True:
+        i, args = qin.get()
+        if i is None and args is None:
+            break
+        qout.put((i, f(**args)))
+
+
+def distribute_work(f, inputs, outputs=None, nprocs=1, out_key="output"):
+    """Evaluate ``f(**i)`` for each dict ``i`` in ``inputs``
+    (reference utils.py:158-186).
+
+    Returns a list of dicts: each input dict (or the matching entry of
+    ``outputs``) updated with the result under ``out_key`` (or merged, if
+    the result is itself a dict).  The reference fans out over a joblib
+    process pool for ``nprocs > 1``; here ``nprocs`` is accepted for API
+    compatibility but work runs sequentially in-process — on TPU the
+    scalable multi-run path is batching whole runs on-device
+    (``multiSMC``/vmap), not host processes competing for one chip.
+    """
+    del nprocs
+    if outputs is None:
+        outputs = [dict(ip) for ip in inputs]
+    res = []
+    for ip, op in zip(inputs, outputs):
+        out = f(**ip)
+        op = dict(op)
+        if isinstance(out, dict):
+            op.update(out)
+        else:
+            op[out_key] = out
+        res.append(op)
+    return res
+
+
+class seeder:
+    """Wrap ``f`` so a ``seed`` keyword becomes an explicit PRNG ``key``
+    (reference utils.py:205-213 seeds numpy's global RNG; jax has no
+    global RNG, so ``seed`` is translated to ``key=jax.random.key(seed)``
+    unless the caller already passed a key)."""
+
+    def __init__(self, func):
+        self.func = func
+        functools.update_wrapper(self, func)
+
+    def __call__(self, **kwargs):
+        seed = kwargs.pop("seed", None)
+        if seed is not None and "key" not in kwargs:
+            kwargs["key"] = jax.random.key(seed)
+        return self.func(**kwargs)
 
 
 def multiplexer(f=None, nruns=1, seeding=None, key=None, nprocs=0,

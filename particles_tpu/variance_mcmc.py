@@ -122,6 +122,25 @@ def MCMC_Tukey_Hanning(X, bias=True, adapt_constant=True):
     return w[0] * c[0] + 2 * np.sum(w_cov)
 
 
+def autocovariance_fft_single(x, mu=None, bias=True):
+    """(n,) FFT autocovariances of one chain (reference
+    variance_mcmc.py:67-80): ``res[i]`` is the lag-i autocovariance."""
+    x = np.asarray(x, dtype=np.float64)
+    if mu is None:
+        mu = np.mean(x)
+    xc = x - mu
+    n = len(xc)
+    full = np.correlate(xc, xc, mode="full")
+    res = full[n - 1:]
+    return res / n if bias else res / np.arange(n, 0, -1)
+
+
+def default_collector(ls):
+    """Concatenate a list of per-chunk arrays (reference
+    variance_mcmc.py:199-201)."""
+    return np.concatenate([np.asarray(a) for a in ls])
+
+
 def autocovariance_fft_multiple(X, mu=None, bias=True):
     """(P,) autocovariances averaged over M chains (reference
     variance_mcmc.py:82-91)."""

@@ -60,8 +60,8 @@ REFERENCE_SURFACE = {
     ],
     "particles_tpu.hmm": ["HMM", "GaussianHMM", "BaumWelch"],
     "particles_tpu.nested": [
-        "NestedSampling", "Nested_RWmoves", "NestedSamplingSMC",
-        "MeanCovTracker", "unif_minus_one",
+        "NestedParticles", "NestedSampling", "Nested_RWmoves",
+        "NestedSamplingSMC", "MeanCovTracker", "unif_minus_one",
     ],
     "particles_tpu.binary_smc": [
         "Bernoulli", "NestedLogistic", "BinaryMetropolis",
@@ -71,10 +71,13 @@ REFERENCE_SURFACE = {
     "particles_tpu.variance_estimators": ["Var", "Var_logLt", "Lag_based_var"],
     "particles_tpu.variance_mcmc": [
         "MCMC_variance", "AutoCovarianceCalculator",
+        "autocovariance_fft_single", "default_collector",
     ],
-    "particles_tpu.hilbert": ["hilbert_sort", "Hilbert_to_int"],
-    "particles_tpu.rqmc": ["sobol", "halton", "latin"],
-    "particles_tpu.utils": ["timer", "multiplexer", "add_to_dict"],
+    "particles_tpu.hilbert": ["hilbert_sort", "Hilbert_to_int", "invlogit"],
+    "particles_tpu.rqmc": ["sobol", "halton", "latin", "safe_generate"],
+    "particles_tpu.utils": ["timer", "multiplexer", "add_to_dict",
+                        "cartesian_lists", "distribute_work",
+                        "worker", "seeder"],
     "particles_tpu.datasets": [
         "GBP_vs_USD_9798", "Nutria", "Neuro", "Pima", "Eeg", "Sonar",
         "Boston", "Concrete", "Liver",
@@ -90,6 +93,87 @@ def test_surface(module_name):
     missing = [n for n in REFERENCE_SURFACE[module_name]
                if not hasattr(mod, n)]
     assert not missing, f"{module_name} missing: {missing}"
+
+
+class TestLongTailHelpers:
+    """Reference long-tail helpers (found by AST-diffing the reference's
+    public defs against our modules)."""
+
+    def test_cartesian_lists(self):
+        from particles_tpu import utils
+
+        out = utils.cartesian_lists({"a": [0, 2], "b": [3, 4]})
+        assert out == [{"a": 0, "b": 3}, {"a": 0, "b": 4},
+                       {"a": 2, "b": 3}, {"a": 2, "b": 4}]
+
+    def test_distribute_work(self):
+        from particles_tpu import utils
+
+        res = utils.distribute_work(lambda a, b: a + b,
+                                    [{"a": 1, "b": 2}, {"a": 3, "b": 4}])
+        assert [r["output"] for r in res] == [3, 7]
+        assert res[0]["a"] == 1  # inputs carried through
+
+    def test_worker_queue(self):
+        import queue
+
+        from particles_tpu import utils
+
+        qin, qout = queue.Queue(), queue.Queue()
+        qin.put((0, {"x": 2}))
+        qin.put((1, {"x": 5}))
+        qin.put((None, None))
+        utils.worker(qin, qout, lambda x: x * x)
+        got = dict(qout.get() for _ in range(2))
+        assert got == {0: 4, 1: 25}
+
+    def test_seeder(self):
+        from particles_tpu import utils
+
+        @utils.seeder
+        def f(key=None):
+            return jax.random.uniform(key, ())
+
+        a, b = float(f(seed=3)), float(f(seed=3))
+        c = float(f(seed=4))
+        assert a == b and a != c
+
+    def test_safe_generate(self):
+        from scipy.stats import qmc
+
+        from particles_tpu import rqmc
+
+        u = rqmc.safe_generate(64, 3, qmc.Sobol)
+        assert u.shape == (64, 3)
+        assert (u > 0).all() and (u < 1).all()
+
+    def test_autocovariance_fft_single(self):
+        from particles_tpu import variance_mcmc as vm
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=200)
+        res = vm.autocovariance_fft_single(x)
+        # lag-0 == biased variance; cross-check a direct lag-3 estimate
+        np.testing.assert_allclose(res[0], np.var(x), rtol=1e-10)
+        xc = x - x.mean()
+        np.testing.assert_allclose(res[3], np.sum(xc[:-3] * xc[3:]) / len(x),
+                                   rtol=1e-10)
+        assert vm.default_collector([x[:50], x[50:]]).shape == (200,)
+
+    def test_nested_particles_container(self):
+        from particles_tpu import nested
+
+        th = {"mu": jnp.arange(4.0)}
+        npart = nested.NestedParticles(theta=th, lprior=jnp.zeros(4),
+                                       llik=jnp.ones(4))
+        assert npart.N == 4
+        leaves = jax.tree_util.tree_leaves(npart)
+        assert len(leaves) == 3  # registered pytree: mu, lprior, llik
+
+    def test_invlogit(self):
+        from particles_tpu import hilbert
+
+        np.testing.assert_allclose(float(hilbert.invlogit(0.0)), 0.5)
 
 
 class TestListHelpers:
