@@ -51,11 +51,18 @@ def main(small=False):
             out[(essrmin, scheme)] = (np.mean(lls) - exact, np.std(lls))
             print(f"{essrmin:8.2f} {scheme:>12} "
                   f"{np.mean(lls) - exact:+8.3f} {np.std(lls):7.3f}")
-    # unbiasedness of the logLt estimator at every schedule/scheme
+    # The chapter's finding: any schedule that actually resamples gives a
+    # near-unbiased logLt, while NEVER resampling (ESSrmin=0) collapses to
+    # pure importance sampling whose log-estimate degenerates with T (at
+    # T=100, sigmaY=0.2 the measured bias is ~-4000 nats) — resampling is
+    # what keeps the particle approximation alive.
     tol = 6.0 / np.sqrt(N * nruns / 100)
     for (essrmin, scheme), (bias, sd) in out.items():
-        assert abs(bias) < max(tol, 4 * sd / np.sqrt(nruns) + 0.2), (
-            essrmin, scheme, bias, sd)
+        if essrmin == 0.0 and T >= 100:
+            assert bias < -10.0, (essrmin, scheme, bias, sd)
+        else:
+            assert abs(bias) < max(tol, 4 * sd / np.sqrt(nruns) + 0.2), (
+                essrmin, scheme, bias, sd)
     return out
 
 
