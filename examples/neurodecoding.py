@@ -43,13 +43,13 @@ def _trans_cov(delta, tau):
 class NeuralDecoding(ssms.StateSpaceModel):
     """a: (dy,) baseline log-rates; b: (dy, DX) tuning curves."""
 
-    default_params = {"delta": 0.1, "tau": 0.5, "a": None, "b": None}
+    default_params = {"delta": 0.03, "tau": 1.0, "a": None, "b": None}
 
     def _F(self):
-        F = np.eye(DX, dtype=np.float32)
-        for i in range(3):
-            F[i, i + 3] = 1.0
-        return jnp.asarray(F)
+        # discretized integrated Brownian motion: position couples to
+        # velocity by delta (ref book/filtering/neurodecoding.py predmean)
+        idx = jnp.arange(3)
+        return jnp.eye(DX, dtype=jnp.float32).at[idx, idx + 3].set(self.delta)
 
     def PX0(self):
         return dists.MvNormal(loc=jnp.zeros(DX), cov=jnp.eye(DX))
@@ -91,12 +91,16 @@ class NeuralDecoding(ssms.StateSpaceModel):
 
 
 def main(small=False):
-    T = 15 if small else 40
+    T = 15 if small else 25
     N = 300 if small else 1000
-    dy = 8 if small else 20
+    dy = 8 if small else 80
     rng = np.random.default_rng(5)
-    a = jnp.asarray(2.0 + 0.3 * rng.standard_normal(dy), jnp.float32)
-    b = jnp.asarray(0.5 * rng.standard_normal((dy, DX)), jnp.float32)
+    # Koyama et al: baseline log-rates ~ N(2.5, 1), tuning rows uniform on
+    # the unit sphere in R^6 (ref book/filtering/neurodecoding.py:137-141)
+    a = jnp.asarray(2.5 + rng.standard_normal(dy), jnp.float32)
+    b0 = rng.standard_normal((dy, DX))
+    b = jnp.asarray(b0 / np.linalg.norm(b0, axis=1, keepdims=True),
+                    jnp.float32)
     ssm = NeuralDecoding(a=a, b=b)
     x, y = ssm.simulate(jax.random.key(0), T)
 
