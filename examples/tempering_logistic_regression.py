@@ -70,10 +70,24 @@ def main(small=False):
     # two independent evidence estimators must agree
     assert np.isfinite(logev)
     assert abs(logev - path_est) < (8.0 if small else 3.0), out
-    # on real Pima, the intercept effect is decisively positive (the
-    # sign-flip construction makes b0 the dominant margin direction)
-    if not (small or ds.synthetic):
-        assert out["b0"] > 0.0, out
+    # oracle cross-check: with n >> p and a weak prior the posterior mean
+    # is close to the Newton MAP estimate (on real Pima: b0 = -0.87,
+    # b1 = +0.83, b2 = +2.24, ... — the intercept is negative, matching
+    # the base diabetes rate of 35%)
+    if not small:
+        D = np.asarray(data, float)
+        b_map = np.zeros(p)
+        for _ in range(50):
+            s = 1.0 / (1.0 + np.exp(D @ b_map))  # sigmoid(-lin)
+            grad = D.T @ s - b_map / 25.0
+            H = -(D.T * (s * (1.0 - s))) @ D - np.eye(p) / 25.0
+            step = np.linalg.solve(H, grad)
+            b_map = b_map - step
+            if np.max(np.abs(step)) < 1e-8:
+                break
+        post = np.array([np.sum(W * np.asarray(pf.X.theta[f"b{j}"]))
+                         for j in range(p)])
+        assert np.max(np.abs(post - b_map)) < 0.3, (post, b_map)
     return out
 
 
