@@ -43,7 +43,15 @@ def _timeit(fn, *args, reps=3):
 
 
 def main(small=False):
-    Ns = [10**3, 10**4] if small else [10**3, 10**4, 10**5, 10**6]
+    if small:
+        Ns = [10**3, 10**4]
+    elif jax.default_backend() == "cpu":
+        # the full grid is a *device*-timing study; on the single-core CPU
+        # fallback the N=10^6 programs pay minutes of XLA-CPU compile time
+        # (measured: >15 min for the 6x2 jits), so cap the sweep at 10^5
+        Ns = [10**3, 10**4, 10**5]
+    else:
+        Ns = [10**3, 10**4, 10**5, 10**6]
     schemes = ["multinomial", "stratified", "systematic", "residual",
                "ssp", "killing"]
     key = jax.random.key(0)
