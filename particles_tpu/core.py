@@ -306,9 +306,7 @@ def _repeat_z(X, z, M, use_pallas=True, want_anc=False, extras=()):
 
     plan = ops.make_repeat_plan(z, M) if use_pallas else None
     if plan is None:
-        counts = jnp.diff(z, prepend=jnp.zeros(1, jnp.int32))
-        rep = lambda leaf: jnp.repeat(leaf, counts, axis=0,
-                                      total_repeat_length=M)
+        rep = ops.serve_by_z(z, M, use_pallas=False)
         A = (rep(jnp.arange(z.shape[0], dtype=jnp.int32)) if want_anc
              else None)
         return (jax.tree_util.tree_map(rep, X), rep, A,
@@ -958,8 +956,11 @@ class SMC:
             state["hist_frames"] = dump_tree(self._hist_frames)
         if self.hist is not None and hasattr(self.hist, "save") and hasattr(
             self.hist, "X"
-        ):  # sampler history (lists of pytrees)
-            state["sampler_hist"] = dump_tree((self.hist.X, self.hist.wgts))
+        ):  # sampler history (per-time lists/deques of pytrees); deques
+            # are not pytree nodes, so materialise as lists before dumping
+            state["sampler_hist"] = dump_tree(
+                (list(self.hist.X), list(self.hist.wgts)))
+            state["sampler_hist_times"] = [int(t) for t in self.hist.times]
         if self.summaries is not None:
             state["summaries"] = {
                 c.summary_name: [np.asarray(v) for v in
@@ -1006,8 +1007,15 @@ class SMC:
             from particles_tpu.smc_samplers import SamplerHistory
 
             X_list, w_list = load_tree(state["sampler_hist"])
-            sh = SamplerHistory()
-            sh.X, sh.wgts = list(X_list), list(w_list)
+            # rebuild with the live option so rolling-window (deque) and
+            # save-if-callable semantics survive the round trip
+            opt = self.hist_option
+            sh = SamplerHistory(True if opt in (False, None) else opt)
+            for X, w in zip(X_list, w_list):
+                sh.X.append(X)
+                sh.wgts.append(w)
+            for t in state.get("sampler_hist_times", []):
+                sh.times.append(t)
             self.hist = sh
         if state.get("summaries") and self.summaries is not None:
             for name, vals in state["summaries"].items():

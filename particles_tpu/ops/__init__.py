@@ -15,4 +15,5 @@ from particles_tpu.ops.repeat_kernel import (  # noqa: F401
     repeat_with_plan,
     repeat_with_plan_anc,
     repeat_with_plan_cols,
+    serve_by_z,
 )

@@ -59,9 +59,7 @@ def _cummax_kernel(z_ref, y_ref, carry):
         run = jnp.maximum(run, jnp.where(rr >= k, sh, jnp.int32(_INT_MIN)))
         k *= 2
     # exclusive prefix over rows
-    excl = jnp.maximum(
-        jnp.where(rr >= 1, pltpu.roll(run, 1, axis=0), jnp.int32(_INT_MIN)),
-        jnp.int32(_INT_MIN))
+    excl = jnp.where(rr >= 1, pltpu.roll(run, 1, axis=0), jnp.int32(_INT_MIN))
     z = jnp.maximum(z, excl)
 
     # carry across blocks (sequential grid)

@@ -368,11 +368,26 @@ def repeat_with_plan_cols(plan, cols, want_anc=False):
 
 def repeat_by_z(x, z, M):
     """``Y[j] = X[#{k: z_k <= j}]`` for inclusive count-cumsum ``z``."""
-    plan = make_repeat_plan(z, M)
+    return serve_by_z(z, M)(x)
+
+
+def serve_by_z(z, M, use_pallas=True):
+    """Serve *function* for the repeat-by-z problem: returns ``rep``
+    mapping any leading-dim-N payload to ``Y[j] = X[#{k: z_k <= j}]``.
+
+    The one shared dispatch for every caller that repeats several
+    payloads by the same ``z`` (the engine fast path's fallback branch
+    and the distributed ring drivers' per-hop serves): the Pallas
+    visit-plan kernel when available, else offspring counts +
+    ``jnp.repeat``.  ``use_pallas=False`` skips the plan attempt (e.g.
+    when the caller already knows the kernel route is unavailable).
+    """
+    plan = make_repeat_plan(z, M) if use_pallas else None
     if plan is None:
         counts = jnp.diff(z, prepend=jnp.zeros(1, jnp.int32))
-        return jnp.repeat(x, counts, axis=0, total_repeat_length=M)
-    return repeat_with_plan(plan, x)
+        return lambda leaf: jnp.repeat(leaf, counts, axis=0,
+                                       total_repeat_length=M)
+    return lambda leaf: repeat_with_plan(plan, leaf)
 
 
 def repeat_by_counts(x, counts, M):

@@ -80,12 +80,7 @@ def _serve_fn(z_blk, d, Nloc):
     from particles_tpu import ops
 
     zp = jnp.clip(z_blk - d * Nloc, 0, Nloc).at[-1].set(Nloc)
-    plan = ops.make_repeat_plan(zp, Nloc)
-    if plan is None:
-        counts = jnp.diff(zp, prepend=jnp.zeros(1, jnp.int32))
-        return lambda leaf: jnp.repeat(leaf, counts, axis=0,
-                                       total_repeat_length=Nloc)
-    return lambda leaf: ops.repeat_with_plan(plan, leaf)
+    return ops.serve_by_z(zp, Nloc)
 
 
 def ring_systematic_resample(x_loc, lw_loc, u, M, axis, D,
@@ -130,18 +125,38 @@ def ring_systematic_resample(x_loc, lw_loc, u, M, axis, D,
     # ring: rotate each shard's (z, x) block; serve outputs whose global
     # index j falls in the passing block's range [zb[e], zb[e+1])
     j = d * Nloc + jnp.arange(Nloc, dtype=jnp.int32)
+    return ring_serve(
+        x_loc, z_loc, Nloc,
+        served_of=lambda e: (j >= zb_ext[e]) & (j < zb_ext[e + 1]),
+        rep_of=lambda z_blk: _serve_fn(z_blk, d, Nloc),
+        axis=axis, D=D, return_ancestors=return_ancestors)
+
+
+def ring_serve(x_loc, blk0, Nloc, served_of, rep_of, axis, D,
+               return_ancestors=False):
+    """The shared D-hop ring-serve scaffolding of both distributed
+    resamplers (systematic repeat-by-z and SQMC merge-rank): rotate each
+    shard's (``blk``, ``x``) around the ring with ``ppermute``; at hop
+    ``s`` (holding origin-``e``'s block, ``e = (d - s) % D``) overwrite
+    the local outputs selected by ``served_of(e)`` with
+    ``rep_of(blk)(x_blk)``.  Every output is served by exactly one hop
+    (the callers' boundary tables tile the output range), so masked
+    accumulation needs no combining.
+
+    With ``return_ancestors=True`` also returns this shard's slice of the
+    GLOBAL ancestor vector (``e * Nloc + rep(iota)`` at the serving hop).
+    """
+    d = jax.lax.axis_index(axis)
     y0 = jax.tree_util.tree_map(lambda a: jnp.zeros_like(a), x_loc)
     A0 = jnp.zeros((Nloc,), jnp.int32)
     iota = jnp.arange(Nloc, dtype=jnp.int32)
     perm = [(i, (i + 1) % D) for i in range(D)]
 
     def body(s, carry):
-        y, A, z_blk, x_blk = carry
+        y, A, blk, x_blk = carry
         e = (d - s) % D  # origin shard of the block currently held
-        lo = zb_ext[e]
-        hi = zb_ext[e + 1]
-        served = (j >= lo) & (j < hi)
-        rep = _serve_fn(z_blk, d, Nloc)
+        served = served_of(e)
+        rep = rep_of(blk)
         y = jax.tree_util.tree_map(
             lambda acc, xb: jnp.where(
                 served.reshape((-1,) + (1,) * (acc.ndim - 1)),
@@ -149,12 +164,12 @@ def ring_systematic_resample(x_loc, lw_loc, u, M, axis, D,
             y, x_blk)
         if return_ancestors:
             A = jnp.where(served, e * Nloc + rep(iota), A)
-        z_blk = jax.lax.ppermute(z_blk, axis, perm)
+        blk = jax.lax.ppermute(blk, axis, perm)
         x_blk = jax.tree_util.tree_map(
             lambda a: jax.lax.ppermute(a, axis, perm), x_blk)
-        return y, A, z_blk, x_blk
+        return y, A, blk, x_blk
 
-    carry = (y0, A0, z_loc, x_loc)
+    carry = (y0, A0, blk0, x_loc)
     if D <= 16:
         # unrolled (D is small and static): lets XLA overlap each hop's
         # ppermute with the next hop's serve
@@ -263,7 +278,9 @@ def run_shardmap_smc(fk, N, key=None, mesh=None, axis="particles",
     if store_history is True:
         from particles_tpu.smoothing import ParticleHistory
 
-        res.hist = ParticleHistory(fk, *hist)
+        # distributed SQMC stores frames in global Hilbert order, exactly
+        # like the single-device engine (core._finalize_history)
+        res.hist = ParticleHistory(fk, *hist, hilbert_ordered=qmc)
     elif isinstance(hist_spec, tuple):
         res.hist = core._windowed_hist_from_ring(store_history, hist, T)
     else:

@@ -150,12 +150,7 @@ def _merge_serve_fn(su_loc, cs_blk, Nloc):
 
     z = rs._merge_rank_counts(su_loc, cs_blk, Nloc)
     z = rs._monotone_z(z).at[-1].set(Nloc)
-    plan = ops.make_repeat_plan(z, Nloc)
-    if plan is None:
-        counts = jnp.diff(z, prepend=jnp.zeros(1, jnp.int32))
-        return lambda leaf: jnp.repeat(leaf, counts, axis=0,
-                                       total_repeat_length=Nloc)
-    return lambda leaf: ops.repeat_with_plan(plan, leaf)
+    return ops.serve_by_z(z, Nloc)
 
 
 def ring_merge_resample(x_loc, su_loc, W_loc, axis, D,
@@ -191,33 +186,10 @@ def ring_merge_resample(x_loc, su_loc, W_loc, axis, D,
     cs_loc = (prefix[d] + cum_loc) / S
     cs_loc = jnp.minimum(cs_loc, B_ext[d + 1]).at[-1].set(B_ext[d + 1])
 
-    y0 = jax.tree_util.tree_map(lambda a: jnp.zeros_like(a), x_loc)
-    A0 = jnp.zeros((Nloc,), jnp.int32)
-    iota = jnp.arange(Nloc, dtype=jnp.int32)
-    perm = [(i, (i + 1) % D) for i in range(D)]
+    from particles_tpu.parallel.distributed import ring_serve
 
-    def body(s, carry):
-        y, A, cs_blk, x_blk = carry
-        e = (d - s) % D  # origin shard of the block currently held
-        served = (su_loc > B_ext[e]) & (su_loc <= B_ext[e + 1])
-        rep = _merge_serve_fn(su_loc, cs_blk, Nloc)
-        y = jax.tree_util.tree_map(
-            lambda acc, xb: jnp.where(
-                served.reshape((-1,) + (1,) * (acc.ndim - 1)),
-                rep(xb), acc),
-            y, x_blk)
-        if return_ancestors:
-            A = jnp.where(served, e * Nloc + rep(iota), A)
-        cs_blk = jax.lax.ppermute(cs_blk, axis, perm)
-        x_blk = jax.tree_util.tree_map(
-            lambda a: jax.lax.ppermute(a, axis, perm), x_blk)
-        return y, A, cs_blk, x_blk
-
-    carry = (y0, A0, cs_loc, x_loc)
-    if D <= 16:
-        for s in range(D):  # unrolled: overlap ppermute with next serve
-            carry = body(s, carry)
-    else:
-        carry = jax.lax.fori_loop(0, D, body, carry)
-    y, A, _, _ = carry
-    return (y, A) if return_ancestors else y
+    return ring_serve(
+        x_loc, cs_loc, Nloc,
+        served_of=lambda e: (su_loc > B_ext[e]) & (su_loc <= B_ext[e + 1]),
+        rep_of=lambda cs_blk: _merge_serve_fn(su_loc, cs_blk, Nloc),
+        axis=axis, D=D, return_ancestors=return_ancestors)

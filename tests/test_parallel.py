@@ -376,6 +376,11 @@ class TestDistributedSQMC:
         assert A.shape == (T, 512) and A.min() >= 0 and A.max() < 512
         traj = res.hist.backward_sampling_mcmc(jax.random.key(0), 4)
         assert np.isfinite(np.asarray(traj)).all()
+        # regression: the distributed-SQMC history stores frames in global
+        # Hilbert order and must say so, or QMC FFBS rejects a valid input
+        assert res.hist.hilbert_ordered is True
+        tq = res.hist.backward_sampling_qmc(jax.random.key(1), 4)
+        assert np.isfinite(np.asarray(tq)).all()
 
 
 class TestPallasNeverUnderGSPMD:

@@ -416,6 +416,33 @@ class TestSamplerHistoryOptions:
         pf.run()
         assert pf.hist.T == pf.t
 
+    def test_rolling_history_checkpoint_roundtrip(self, conj_setup):
+        """Regression: SamplerHistory deques are not pytree nodes, so
+        save_state must materialise them (previously crashed/pickled an
+        unrestorable object array); window semantics survive the resume."""
+        import os
+        import tempfile
+
+        model, *_ = conj_setup
+        pf1 = particles.SMC(fk=ssp.IBIS(model=model, len_chain=3), N=50,
+                            store_history=3, key=jax.random.key(4))
+        for _ in range(5):
+            next(pf1)
+        path = os.path.join(tempfile.mkdtemp(), "ckpt_sampler.pkl")
+        pf1.save_state(path)
+        pf2 = particles.SMC(fk=ssp.IBIS(model=model, len_chain=3), N=50,
+                            store_history=3, key=jax.random.key(0))
+        pf2.load_state(path)
+        assert list(pf2.hist.times) == list(pf1.hist.times)
+        np.testing.assert_array_equal(
+            np.asarray(pf2.hist.X[-1].theta["mu"]),
+            np.asarray(pf1.hist.X[-1].theta["mu"]))
+        for _ in pf2:
+            pass
+        # the restored deque keeps rolling: still a 3-frame window at end
+        assert pf2.hist.T == 3
+        assert list(pf2.hist.times) == [pf2.t - 3, pf2.t - 2, pf2.t - 1]
+
 
 class TestSMC2SmcOptions:
     """Regression (round 3): SMC2 smc_options must be honored or raise."""
