@@ -175,15 +175,9 @@ class Fixed_lag_smooth(Collector):
         Xbuf = jnp.concatenate([Xbuf[1:], view.X[None]], axis=0)
         Abuf = jnp.concatenate([Abuf[1:], view.A[None]], axis=0)
         # genealogy within the window: B[i] = ancestors at window slot i
-        k = Xbuf.shape[0]
+        from particles_tpu.smoothing import _compute_trajectories
 
-        def body(B_next, A_t1):
-            B_t = jnp.take(A_t1, B_next)
-            return B_t, B_t
-
-        B_last = jnp.arange(view.N, dtype=jnp.int32)
-        _, B_rev = jax.lax.scan(body, B_last, Abuf[:0:-1])
-        B = jnp.concatenate([B_rev[::-1], B_last[None]], axis=0)
+        B = _compute_trajectories(Abuf)
         Xs = jax.vmap(lambda Xt, Bt: jnp.take(Xt, Bt, axis=0))(Xbuf, B)
         state = (Xbuf, Abuf)
         return state, self._out(view, Xs)

@@ -169,6 +169,9 @@ class GenericRWHM(MCMC):
             self.scale = scale * 2.38 / np.sqrt(self.dim)
             self.cov_tracker = VanishCovTracker(dim=self.dim, Sigma0=rw_cov)
         else:
+            # reference parity (mcmc.py:269-272): `scale` deliberately does
+            # NOT multiply the fixed proposal factor — it is documented as
+            # adaptive-only; non-adaptive users tune via rw_cov
             self.scale = 1.0
             cov = jnp.eye(self.dim) if rw_cov is None else jnp.asarray(rw_cov)
             self.fixed_L = jnp.linalg.cholesky(cov)
@@ -215,7 +218,13 @@ class GenericRWHM(MCMC):
         if self.theta0 is None:
             th0 = {k: v[0] for k, v in self.prior.rvs(k0, size=1).items()}
         else:
-            th0 = {k: jnp.asarray(v) for k, v in self.theta0.items()}
+            # pack in TEMPLATE order (the unpack order), never the user's
+            # dict insertion order — a mismatch silently swaps parameters
+            if set(self.theta0) != set(self.template):
+                raise ValueError(
+                    f"theta0 keys {sorted(self.theta0)} != prior keys "
+                    f"{sorted(self.template)}")
+            th0 = {k: jnp.asarray(self.theta0[k]) for k in self.template}
         th0_vec = _dict_to_vec(th0)
         self._eval_key = keval0
         lpost0 = jax.jit(self.logpost)(_vec_to_dict(th0_vec, self.template))
@@ -475,7 +484,9 @@ class GenericGibbs(MCMC):
         self.key, k1, k2 = jax.random.split(self.key, 3)
         new_theta = self.update_theta(k1, self._thetas[-1], self.x)
         self._thetas.append(new_theta)
-        self.x = self.update_states(k2, self._thetas[-2], self.x)
+        # condition the state update on the theta JUST sampled (a stale
+        # theta breaks invariance of the systematic-scan Gibbs kernel)
+        self.x = self.update_states(k2, new_theta, self.x)
         if self.store_x:
             self._xs.append(self.x)
 

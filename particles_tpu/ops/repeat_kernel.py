@@ -272,8 +272,13 @@ _MAX_FUSE = 8
 
 def _leaf_routable(x, N):
     is_int = jnp.issubdtype(x.dtype, jnp.integer)
+    # whitelist real numerics: extended dtypes (typed PRNG keys, e.g.
+    # SMC2's per-particle pf_key field) cannot go through the f32 select
+    ok_dtype = (is_int or x.dtype == jnp.bool_
+                or jnp.issubdtype(x.dtype, jnp.floating))
     return (
-        x.ndim in (1, 2)
+        ok_dtype
+        and x.ndim in (1, 2)
         and (x.ndim == 1 or x.shape[1] <= _MAX_COLS)
         and x.shape[0] == N
         and not (is_int and N >= 2**24)  # float32 routing only exact < 2^24

@@ -500,22 +500,27 @@ class AdaptiveMCMCSequence(MCMCSequence):
             return xout.with_shared(acc_rate=jnp.mean(accs))
 
         def cond(state):
-            _, i, dist, prev_dist, _, go = state
+            _, i, dist, prev_dist, _, go, _ = state
             return go & (i < self.nsteps)
 
         def body(state):
-            xc, i, dist, prev_dist, k, _ = state
+            xc, i, dist, prev_dist, k, _, acc_sum = state
             k, ks = jax.random.split(k)
             x2, acc = self.mcmc.step(ks, xc, target)
             diff = view_2d_array(x2.theta) - arr0
             new_dist = jnp.mean(jnp.linalg.norm(diff, axis=1))
             go = jnp.abs(new_dist - dist) >= self.delta_dist * dist
-            return x2, i + 1, new_dist, dist, k, go
+            return x2, i + 1, new_dist, dist, k, go, acc_sum + jnp.mean(acc)
 
         state = (x, jnp.int32(0), jnp.float32(0.0), jnp.float32(0.0), key,
-                 jnp.asarray(True))
-        xout, *_ = jax.lax.while_loop(cond, body, state)
-        return xout.with_shared(acc_rate=x.shared.get("acc_rate", jnp.float32(0.0)))
+                 jnp.asarray(True), jnp.float32(0.0))
+        xout, nsteps_done, _, _, _, _, acc_sum = jax.lax.while_loop(
+            cond, body, state)
+        # the REALISED acceptance rate of this move (a stale carried value
+        # here made SMC2's Nx-doubling trigger fire forever)
+        acc_rate = acc_sum / jnp.maximum(nsteps_done.astype(jnp.float32),
+                                         1.0)
+        return xout.with_shared(acc_rate=acc_rate)
 
 
 # ---------------------------------------------------------------------------
@@ -650,11 +655,16 @@ class Tempering(FKSMCsampler):
         binwidth = delta / (grid_size - 1)
         llik = x.llik
 
+        # a zero-likelihood particle has llik = -inf and softmax weight 0;
+        # sum(w * llik) would be 0 * -inf = NaN, poisoning the accumulator
+        # forever — take the correct limit (contribute 0) instead
+        llik_f = jnp.where(jnp.isfinite(llik), llik, 0.0)
+
         def body(i, acc):
             e = i.astype(jnp.float32) * binwidth
             mult = jnp.where((i == 0) | (i == grid_size - 1), 0.5, 1.0)
             w = jax.nn.softmax(jnp.where(jnp.isfinite(llik), e * llik, -jnp.inf))
-            return acc + mult * binwidth * jnp.sum(w * llik)
+            return acc + mult * binwidth * jnp.sum(w * llik_f)
 
         inc = jax.lax.fori_loop(0, grid_size, body, jnp.float32(0.0))
         return x.shared["path_sampling"] + inc
@@ -1194,7 +1204,13 @@ class SMC2(FKSMCsampler):
             return
         x = smc._carry.X
         new_Nx = 2 * x.xs.shape[1]
-        smc.key, k = jax.random.split(smc.key)
+        # smc.key was already consumed by _sampler_step0 (split -> k0,
+        # knext): splitting it again would REGENERATE the carry key that
+        # seeded every step, correlating the replayed inner filters with
+        # the run's own randomness (fatal in a pseudo-marginal method).
+        # Use a fold_in stream disjoint from every split-derived key.
+        k = jax.random.fold_in(
+            jax.random.fold_in(smc.key, 0x45584348), smc.t)  # "EXCH"
         replay = jax.jit(
             lambda key, x, t: self._replay_all(key, x, t, new_Nx),
             static_argnames=(),

@@ -373,7 +373,11 @@ class ParticleHistory:
         # searchsorted-style lookup of the UNSORTED final coordinates keeps
         # each trajectory's Sobol coordinates paired across time
         # (reference smoothing.py:440-442)
-        csT = jnp.cumsum(self.wgts.W)
+        # binary search needs a MONOTONE array: XLA's parallel f32 cumsum
+        # can dip at large N (see resampling._normalised_cumsum_mono)
+        csT, _mono = rs._normalised_cumsum_mono(self.wgts.W)
+        if not _mono:
+            csT = rs._monotone_z(csT)
         idx_T = jnp.clip(
             jnp.searchsorted(csT, u[:, -1], side="left"), 0, self.N - 1
         ).astype(jnp.int32)
@@ -389,6 +393,9 @@ class ParticleHistory:
             cw = jnp.cumsum(
                 jax.nn.softmax(lwm, axis=1), axis=1
             )
+            # monotonise each row (f32 cumsum association can dip) so the
+            # count-based inverse CDF matches the true bracket exactly
+            cw = jax.lax.associative_scan(jnp.maximum, cw, axis=1)
             pos = jnp.sum(u_t[:, None] > cw, axis=1)
             idx_t = jnp.clip(pos, 0, self.N - 1).astype(jnp.int32)
             return idx_t, idx_t

@@ -48,6 +48,34 @@ class TestBasicRWHM:
         m.run()
         assert np.isfinite(np.asarray(m.chain.lpost)).all()
 
+    def test_theta0_key_order_independent(self):
+        """Regression: theta0 must be packed in the prior-template order,
+        not the user's dict insertion order (a mismatch silently swapped
+        parameter values)."""
+
+        class TwoParam(ssp.StaticModel):
+            def logpyt(self, theta, t):
+                return dists.Normal(
+                    loc=theta["mu"], scale=theta["sigma"]
+                ).logpdf(self.data[t])
+
+        rng = np.random.default_rng(3)
+        y = rng.normal(size=8).astype(np.float32)
+        prior = dists.StructDist({
+            "mu": dists.Normal(loc=0.0, scale=1.0),
+            "sigma": dists.Gamma(a=2.0, b=2.0),
+        })
+        model = TwoParam(data=y, prior=prior)
+        m = mcmc.BasicRWHM(model=model, niter=3, adaptive=False,
+                           theta0={"sigma": 0.25, "mu": 3.0},
+                           key=jax.random.key(0))
+        m.run()
+        assert abs(float(m.chain.theta["mu"][0]) - 3.0) < 1e-6
+        assert abs(float(m.chain.theta["sigma"][0]) - 0.25) < 1e-6
+        with pytest.raises(ValueError, match="theta0 keys"):
+            mcmc.BasicRWHM(model=model, niter=3, adaptive=False,
+                           theta0={"mu": 1.0}, key=jax.random.key(0)).run()
+
 
 @pytest.fixture(scope="module")
 def lg_pmmh_setup():
@@ -161,6 +189,30 @@ class TestParticleGibbs:
         pg = self._build(niter=20, backward_step=True)
         pg.run()
         assert np.isfinite(np.asarray(pg.chain.theta["rho"])).all()
+
+
+class TestGibbsSweepFreshTheta:
+    """Regression: the state update must condition on the theta sampled
+    THIS iteration — a stale theta breaks invariance of the
+    systematic-scan Gibbs kernel."""
+
+    def test_update_states_receives_new_theta(self):
+        seen = []
+
+        class G(mcmc.GenericGibbs):
+            def update_theta(self, key, theta, x):
+                return {"mu": theta["mu"] + 1.0}
+
+            def update_states(self, key, theta, x):
+                seen.append(float(theta["mu"]))
+                return jnp.zeros(3)
+
+        prior = dists.StructDist({"mu": dists.Normal(loc=0.0, scale=1.0)})
+        g = G(prior=prior, data=np.zeros(3, np.float32), niter=4,
+              theta0={"mu": jnp.float32(0.0)}, key=jax.random.key(0))
+        g.run()
+        # theta_n = n along the +1 chain; update_states at n must see it
+        assert seen == [0.0, 1.0, 2.0, 3.0]
 
 
 class TestPMMHSmcOptions:

@@ -651,3 +651,25 @@ class TestZFormMonotonicity:
                                            M=N))
             assert (np.diff(z) >= 0).all(), scheme
             assert z[-1] == N
+
+
+class TestRepeatKernelLeafRouting:
+    """Regression: extended dtypes (typed PRNG keys — SMC2 carries a
+    per-particle pf_key field) must never route into the f32 Pallas
+    select; the jnp.repeat fallback handles them."""
+
+    def test_key_leaves_not_routable(self):
+        import jax
+
+        from particles_tpu.ops import repeat_kernel as rk
+
+        keys = jax.random.split(jax.random.key(0), 16)
+        assert not rk._leaf_routable(keys, 16)
+        assert rk._leaf_routable(jnp.zeros(16, jnp.float32), 16)
+        assert rk._leaf_routable(jnp.zeros(16, jnp.int32), 16)
+        assert rk._leaf_routable(jnp.zeros(16, jnp.bool_), 16)
+        assert not rk._leaf_routable(jnp.zeros(16, jnp.complex64), 16)
+        # and the fallback actually serves typed keys
+        counts = jnp.array([2] * 8 + [0] * 8, jnp.int32)
+        out = jnp.repeat(keys, counts, axis=0, total_repeat_length=16)
+        assert out.shape == (16,)

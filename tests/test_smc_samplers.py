@@ -471,3 +471,43 @@ class TestSMC2SmcOptions:
             ssp.SMC2(ssm_cls=kalman.LinearGauss, prior=prior,
                      data=np.zeros(4, np.float32), init_Nx=10,
                      smc_options={"qmc": True})
+
+
+class TestTemperingEdgeCases:
+    """Regressions from the round-3 self-review."""
+
+    def test_path_sampling_finite_with_zero_likelihood_particles(self):
+        """A particle with llik = -inf must not NaN-poison the trapezoidal
+        path-sampling accumulator (0 * -inf)."""
+        rng = np.random.default_rng(0)
+        y = rng.normal(loc=1.0, size=20).astype(np.float32)
+
+        class Trunc(ssp.StaticModel):
+            def logpyt(self, theta, t):
+                lp = dists.Normal(loc=theta["mu"], scale=1.0).logpdf(
+                    self.data[t])
+                return jnp.where(theta["mu"] > 2.5, -jnp.inf, lp)
+
+        prior = dists.StructDist({"mu": dists.Normal(loc=0.0, scale=2.0)})
+        model = Trunc(data=y, prior=prior)
+        fk = ssp.AdaptiveTempering(model=model, len_chain=4, ESSrmin=0.5)
+        pf = particles.SMC(fk=fk, N=64, key=jax.random.key(0))
+        pf.run()
+        assert np.isfinite(float(pf.X.shared["path_sampling"]))
+        assert np.isfinite(float(pf.logLt))
+
+    def test_adaptive_move_reports_realised_acc_rate(self):
+        """AdaptiveMCMCSequence(adaptive=True) must install the acceptance
+        rate it actually realised (a stale carried 0.0 here made SMC2's
+        Nx-doubling trigger fire on every step)."""
+        rng = np.random.default_rng(1)
+        y = rng.normal(loc=1.0, size=15).astype(np.float32)
+        prior = dists.StructDist({"mu": dists.Normal(loc=0.0, scale=1.0)})
+        model = GaussianMean(data=y, prior=prior)
+        fk = ssp.IBIS(model=model, wastefree=False, len_chain=5,
+                      move=ssp.AdaptiveMCMCSequence(len_chain=5,
+                                                    adaptive=True))
+        pf = particles.SMC(fk=fk, N=64, key=jax.random.key(1))
+        pf.run()
+        ar = float(pf.X.shared["acc_rate"])
+        assert 0.0 < ar <= 1.0, ar
