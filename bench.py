@@ -268,8 +268,10 @@ def measure_device():
 
     try:
         out.update(_with_alarm(anatomy, 420))
-    except TimeoutError:
-        out["anatomy"] = "timed out"
+    except Exception as e:  # noqa: BLE001 — keep the headline alive
+        # (not just TimeoutError: the tunnel also raises UNAVAILABLE
+        # RuntimeErrors, and a wedged run can fail the finite check)
+        out["anatomy"] = f"failed: {type(e).__name__}"
 
     # round-3 production shapes: history-enabled run (the state serve,
     # the ancestor vector and the frame stacking all in-step — what

@@ -962,9 +962,12 @@ class SMC:
                 (list(self.hist.X), list(self.hist.wgts)))
             state["sampler_hist_times"] = [int(t) for t in self.hist.times]
         if self.summaries is not None:
+            # per-step collector outputs may be pytrees (Moments returns
+            # {'mean','var'} dicts) — np.asarray would silently pickle
+            # unrestorable 0-d object arrays, so dump as flattened trees
             state["summaries"] = {
-                c.summary_name: [np.asarray(v) for v in
-                                 getattr(self.summaries, c.summary_name)]
+                c.summary_name: dump_tree(
+                    list(getattr(self.summaries, c.summary_name)))
                 for c in self.summaries._collectors
             }
         if getattr(self, "_col_states", None) is not None:
@@ -1019,7 +1022,7 @@ class SMC:
             self.hist = sh
         if state.get("summaries") and self.summaries is not None:
             for name, vals in state["summaries"].items():
-                setattr(self.summaries, name, [jnp.asarray(v) for v in vals])
+                setattr(self.summaries, name, load_tree(vals))
         if "col_states" in state:
             self._col_states = load_tree(state["col_states"])
 
@@ -1157,12 +1160,45 @@ _runner_cache = {}
 _RUNNER_CACHE_MAX = 64
 
 
+class _IdKey:
+    """Identity-hashed wrapper holding a STRONG reference: while the key
+    lives in the cache, the wrapped object cannot be garbage-collected, so
+    its id cannot be recycled by a different, differently-configured
+    object (raw ``id(v)`` in a cache key silently aliases entries after
+    GC reuses the address)."""
+
+    __slots__ = ("obj",)
+
+    def __init__(self, obj):
+        self.obj = obj
+
+    def __hash__(self):
+        return id(self.obj)
+
+    def __eq__(self, other):
+        return isinstance(other, _IdKey) and other.obj is self.obj
+
+
 def _hashable(v):
     try:
         hash(v)
         return v
     except TypeError:
-        return id(v)
+        pass
+    # hash common config containers by VALUE (e.g. a collector configured
+    # with levels=[...] must hit the same runner for equal levels and a
+    # different one for different levels)
+    if isinstance(v, (list, tuple)):
+        return ("__seq__",) + tuple(_hashable(x) for x in v)
+    if isinstance(v, dict):
+        return ("__dict__",) + tuple(
+            sorted((k, _hashable(x)) for k, x in v.items()))
+    import numpy as _np
+
+    if isinstance(v, (_np.ndarray, jax.Array)):
+        a = _np.asarray(v)
+        return ("__arr__", a.shape, str(a.dtype), a.tobytes())
+    return _IdKey(v)
 
 
 def _summaries_signature(summaries):

@@ -81,7 +81,11 @@ def _candidate_paths(file_name):
 def prepare_predictors(predictors, add_intercept=True, scale=0.5):
     """Rescale predictors to mean 0 / std ``scale``, optionally prepend an
     intercept column (reference datasets.py:153-181)."""
-    preds = np.atleast_2d(predictors)
+    preds = np.asarray(predictors, dtype=float)
+    if preds.ndim == 1:
+        # a single predictor: (n,) -> (n, 1).  np.atleast_2d would give a
+        # (1, n) ROW, making the per-column std 0 and the rescale 0/0=NaN
+        preds = preds[:, None]
     rescaled = scale * (preds - np.mean(preds, axis=0)) / np.std(preds, axis=0)
     if add_intercept:
         n, p = preds.shape

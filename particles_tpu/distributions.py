@@ -231,15 +231,24 @@ class Beta(ProbDist):
 
     def rvs(self, key, size=None):
         shape = self._draw_shape(size, self.a, self.b)
-        return jax.random.beta(key, self.a, self.b, shape)
+        draw = jax.random.beta(key, self.a, self.b, shape)
+        # float32 draws hit EXACTLY 0.0/1.0 at realistic N (measured:
+        # ~0.4% of draws for a=b=0.3), where logpdf diverges for a<1 or
+        # b<1 and a single +inf log-weight NaNs the whole particle system
+        tiny = jnp.finfo(draw.dtype).tiny
+        return jnp.clip(draw, tiny, 1.0 - jnp.finfo(draw.dtype).epsneg)
 
     def logpdf(self, x):
         a, b = self.a, self.b
-        return (
-            (a - 1.0) * jnp.log(x)
-            + (b - 1.0) * jnp.log1p(-x)
+        inside = (x >= 0.0) & (x <= 1.0)
+        xs = jnp.clip(x, 0.0, 1.0)
+        lp = (
+            (a - 1.0) * jnp.log(xs)
+            + (b - 1.0) * jnp.log1p(-xs)
             - jsp_special.betaln(a, b)
         )
+        # outside the support: -inf (certain rejection), never NaN
+        return jnp.where(inside, lp, -jnp.inf)
 
     def ppf(self, u):
         return _bisect_ppf(
@@ -504,7 +513,9 @@ class Binomial(DiscreteDist):
         self.p = p
 
     def rvs(self, key, size=None):
-        shape = self._draw_shape(size, self.p)
+        # n participates in the shape broadcast too (array-parameter /
+        # per-particle kernel convention)
+        shape = self._draw_shape(size, self.n, self.p)
         return jax.random.binomial(
             key, jnp.asarray(self.n, jnp.float32), self.p, shape
         ).astype(jnp.int32)
@@ -549,6 +560,9 @@ class Geometric(DiscreteDist):
         return (x - 1.0) * jnp.log1p(-self.p) + jnp.log(self.p)
 
     def ppf(self, u):
+        # clamp u away from 1: log1p(-1.0) = -inf would overflow the int32
+        # cast to INT32_MAX (f32 uniforms/Sobol points DO hit exactly 1.0)
+        u = jnp.minimum(u, 1.0 - jnp.finfo(jnp.float32).epsneg)
         k = jnp.ceil(jnp.log1p(-u) / jnp.log1p(-self.p))
         return jnp.maximum(k, 1.0).astype(jnp.int32)
 
@@ -564,7 +578,7 @@ class NegativeBinomial(DiscreteDist):
     def rvs(self, key, size=None):
         # Gamma-Poisson mixture: X | G ~ Poisson(G), G ~ Gamma(n, p/(1-p))
         k1, k2 = jax.random.split(key)
-        shape = self._draw_shape(size, self.p)
+        shape = self._draw_shape(size, self.n, self.p)
         shape = () if shape is None else shape
         g = jax.random.gamma(k1, jnp.asarray(self.n, jnp.float32), shape)
         lam = g * (1.0 - self.p) / self.p
@@ -809,6 +823,10 @@ class MvNormal(ProbDist):
     def __init__(self, loc=0.0, scale=1.0, cov=None):
         self.loc = jnp.asarray(loc)
         self.scale = scale
+        if cov is None and self.loc.ndim == 0:
+            raise ValueError(
+                "MvNormal: cannot infer the dimension — pass a (d,) or "
+                "(N, d) loc, or an explicit (d, d) cov")
         self.cov = (
             jnp.eye(self.loc.shape[-1]) if cov is None else jnp.asarray(cov)
         )

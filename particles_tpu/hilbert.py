@@ -130,12 +130,11 @@ def hilbert_sort(x, nbits=None):
         nbits = max(1, min(62 // d, 16))
     xint = _standardise_and_integerise(x, nbits)
     hi, lo = hilbert_index(xint, nbits)
-    # lexicographic argsort on the (hi, lo) limbs via one 64-ish key:
-    key = hi.astype(jnp.float64) * 4294967296.0 + lo.astype(jnp.float64) \
-        if jax.config.jax_enable_x64 else None
-    if key is not None:
-        return jnp.argsort(key).astype(jnp.int32)
-    # without x64: two-pass stable argsort (lo then hi)
+    # lexicographic argsort on the (hi, lo) limbs: two-pass stable
+    # argsort (lo then hi).  NEVER pack the limbs into one float64 key —
+    # keys are up to 62 bits wide and float64 carries 53 significand
+    # bits, so the bottom bits round away and nearby points misorder
+    # (measured: 11 inverted adjacent pairs at d=4, N=8192, clustered)
     order_lo = jnp.argsort(lo, stable=True)
     hi_perm = jnp.take(hi, order_lo)
     order = jnp.take(order_lo, jnp.argsort(hi_perm, stable=True))

@@ -2,9 +2,12 @@
 
 The counterpart of the reference's numba ``@jit(nopython=True)`` layer
 (SURVEY.md §2a): on-device the hot ops are Pallas/XLA kernels, while these
-C++ kernels serve host-side execution — eager calls, post-processing, and
-the inherently sequential SSP resampler whose ``lax.scan`` formulation is
-slow on CPU backends.
+C++ kernels serve host-side execution.  Production consumer:
+``resampling.ssp_counts`` routes EAGER calls on the CPU backend here (the
+inherently sequential SSP recursion as one host loop — the lax.scan
+formulation pays a multi-second XLA-CPU compile at N >= 1e5); the others
+back the bit-exactness cross-checks in ``tests/test_native.py`` and are
+available to host-side post-processing.
 
 The shared library is compiled on first use with g++ (cached next to the
 sources); if no compiler is available, ``AVAILABLE`` is False and callers
@@ -39,11 +42,16 @@ def _ensure_built():
     if _lib is not None:
         return _lib
     if (not _LIB.exists()) or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        # build to a per-process temp file and os.replace atomically:
+        # concurrent importers (parallel pytest, multi-process users) must
+        # never CDLL a partially written .so
+        tmp = _LIB.with_suffix(f".tmp{os.getpid()}.so")
         cmd = [
             "g++", "-O3", "-march=native", "-shared", "-fPIC",
-            "-o", str(_LIB), str(_SRC),
+            "-o", str(tmp), str(_SRC),
         ]
         subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _LIB)
     lib = ctypes.CDLL(str(_LIB))
     c_dp = ctypes.POINTER(ctypes.c_double)
     c_i32p = ctypes.POINTER(ctypes.c_int32)

@@ -116,9 +116,7 @@ class NestedSampling:
             i = i0 + j
             lw = lw0 - i.astype(jnp.float32) / self.N
             lZ = jnp.logaddexp(lZ, lw + pt_ll)
-            m = (jax.random.randint(
-                jax.random.fold_in(k, 1), (), n + 1, n + self.N
-            ) % self.N).astype(jnp.int32)
+            m = unif_minus_one(jax.random.fold_in(k, 1), self.N, n)
             arr, lprior, llik = self._mutate_kernel(
                 k, arr, lprior, llik, n, m
             )
@@ -238,7 +236,11 @@ class NestedSamplingSMC(ssps.FKSMCsampler):
     def done(self, smc):
         if smc.X is None:
             return False
-        return bool(jnp.isinf(smc.X.shared["lt"]))
+        # terminate ONLY on lt == +inf (the final "consume the remaining
+        # prior mass" level, reference nested.py:330-351).  lt can be -inf
+        # mid-run when most particles sit in a hard-constrained zero-
+        # likelihood region — the level must keep shrinking then.
+        return bool(smc.X.shared["lt"] == jnp.inf)
 
     def _M0(self, key, N0):
         th = dict(self.model.prior.rvs(key, size=N0))

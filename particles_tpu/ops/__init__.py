@@ -9,6 +9,7 @@ from particles_tpu.ops.cummax_kernel import running_max  # noqa: F401
 from particles_tpu.ops.guard import no_pallas, pallas_allowed  # noqa: F401
 from particles_tpu.ops.merge_rank_kernel import merge_rank_counts  # noqa: F401
 from particles_tpu.ops.repeat_kernel import (  # noqa: F401
+    ancestors_by_z,
     make_repeat_plan,
     repeat_by_counts,
     repeat_by_z,

@@ -39,11 +39,14 @@ Gating inside the kernel: a j served by an earlier block fails
 ``j >= prev_last``; one served by a later block sees all rows below so
 the z-row select leaves INT32_MAX and the one-hot never fires (the
 contribution is the 0.0 default).  Inputs of any 1-D length are
-zero-padded to a block multiple; float32/int32 (N,) and (N, d <= 2)
-payloads route here with columns FUSED into one call (wider payloads
-fall back to ``jnp.repeat``, whose 2-D row form amortises by d >= 3 —
-see ``_MAX_COLS``); the ancestor-index vector can ride any fused call
-as a near-free extra output (``repeat_with_plan_anc`` / ``_cols``).
+zero-padded to a block multiple; f32/f16/bf16 and sub-24-bit-int (N,)
+and (N, d <= 2) payloads route here with columns FUSED into one call
+(wider payloads fall back to ``jnp.repeat``, whose 2-D row form
+amortises by d >= 3 — see ``_MAX_COLS``; int32/int64 user payloads are
+NEVER routed: the f32 round-trip rounds values >= 2^24 — see
+``_leaf_routable``); the ancestor-index vector can ride any fused call
+as a near-free extra output (``repeat_with_plan_anc`` / ``_cols``),
+computed in-kernel in exact ints.
 """
 
 from __future__ import annotations
@@ -271,29 +274,36 @@ _MAX_FUSE = 8
 
 
 def _leaf_routable(x, N):
-    is_int = jnp.issubdtype(x.dtype, jnp.integer)
-    # whitelist real numerics: extended dtypes (typed PRNG keys, e.g.
-    # SMC2's per-particle pf_key field) cannot go through the f32 select
-    ok_dtype = (is_int or x.dtype == jnp.bool_
-                or jnp.issubdtype(x.dtype, jnp.floating))
+    # whitelist dtypes the f32 round-trip serves EXACTLY:
+    # - extended dtypes (typed PRNG keys, e.g. SMC2's per-particle pf_key
+    #   field) cannot go through the f32 select at all;
+    # - int32/int64 USER values may exceed 2^24 and would be silently
+    #   rounded (16777217 -> 16777216) — value ranges are unknowable at
+    #   trace time, so route only sub-24-bit ints; the engine's own
+    #   ancestor/iota serves are unaffected (they use the kernel's fused
+    #   in-kernel int path, repeat_with_plan_anc/_cols(anc=True));
+    # - float64 is never silently truncated.
+    ok_dtype = (x.dtype in (jnp.int8, jnp.int16, jnp.uint8, jnp.uint16)
+                or x.dtype == jnp.bool_
+                or (jnp.issubdtype(x.dtype, jnp.floating)
+                    and x.dtype != jnp.float64))
     return (
         ok_dtype
         and x.ndim in (1, 2)
         and (x.ndim == 1 or x.shape[1] <= _MAX_COLS)
         and x.shape[0] == N
-        and not (is_int and N >= 2**24)  # float32 routing only exact < 2^24
-        and x.dtype != jnp.float64       # never silently truncate x64
     )
 
 
 def repeat_with_plan(plan, x):
     """Apply a :class:`RepeatPlan` to one payload array.
 
-    Routes (N,) and (N, d <= _MAX_COLS) float32/int32 payloads through
-    the Pallas kernel (columns FUSED into one call sharing the z-side
-    select); anything else falls back to ``jnp.repeat`` with counts
-    recovered from ``plan.z`` (measured cheaper for d >= 3 — XLA's 2-D
-    row-repeat amortises).
+    Routes (N,) and (N, d <= _MAX_COLS) payloads of kernel-exact dtypes
+    (see ``_leaf_routable``: floats below f64, bool, sub-24-bit ints —
+    NOT int32/int64) through the Pallas kernel (columns FUSED into one
+    call sharing the z-side select); anything else falls back to
+    ``jnp.repeat`` with counts recovered from ``plan.z`` (measured
+    cheaper for d >= 3 — XLA's 2-D row-repeat amortises).
     """
     N = plan.z.shape[0]
     if not _leaf_routable(x, N):
@@ -393,6 +403,24 @@ def serve_by_z(z, M, use_pallas=True):
         return lambda leaf: jnp.repeat(leaf, counts, axis=0,
                                        total_repeat_length=M)
     return lambda leaf: repeat_with_plan(plan, leaf)
+
+
+def ancestors_by_z(z, M):
+    """Sorted ancestor vector ``A[j] = #{k: z_k <= j}`` for inclusive
+    count-cumsum ``z``.
+
+    Uses the kernel's fused IN-KERNEL int path (``want_anc`` — exact for
+    any N, no f32 round-trip), falling back to counts + ``jnp.repeat``.
+    Prefer this over serving an iota payload: int32 payloads are excluded
+    from the f32 route (see ``_leaf_routable``).
+    """
+    plan = make_repeat_plan(z, M)
+    if plan is None:
+        counts = jnp.diff(z, prepend=jnp.zeros(1, jnp.int32))
+        return jnp.repeat(jnp.arange(z.shape[0], dtype=jnp.int32), counts,
+                          axis=0, total_repeat_length=M)
+    _, A = repeat_with_plan_cols(plan, [], want_anc=True)
+    return A
 
 
 def repeat_by_counts(x, counts, M):

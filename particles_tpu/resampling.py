@@ -474,7 +474,12 @@ def resampling_counts(scheme, key, W, M=None):
     """Offspring counts for a sorted-ancestor scheme: (N,) int32 summing to M.
 
     ``A = jnp.repeat(jnp.arange(N), counts, total_repeat_length=M)`` gives
-    the same ancestors as ``resampling(scheme, ...)`` (sorted).
+    the same ancestors as ``np.sort(resampling(scheme, ...))`` — bit-exact
+    for the SAME key for multinomial/stratified/systematic/ssp (verified
+    in tests).  ``residual`` is the exception: its two forms consume the
+    key through different machinery (unsorted ``multinomial_iid`` on the
+    residuals vs sorted spacings + merge-rank), so the same key yields a
+    different — equally valid, identically distributed — draw.
     """
     M = W.shape[0] if M is None else M
     try:
@@ -486,13 +491,13 @@ def resampling_counts(scheme, key, W, M=None):
 def counts_to_ancestors(counts, M):
     """A[m] = smallest n with cumsum(counts)[n] > m, via repeat (no search).
 
-    On TPU this routes through the Pallas streaming-merge kernel
-    (particles_tpu.ops) — ~75x faster than the XLA gather at N=1e6.
+    On TPU this routes through the Pallas visit kernel's fused in-kernel
+    ancestor path (exact ints at any N) — ~75x faster than the XLA
+    gather at N=1e6.
     """
-    from particles_tpu.ops import repeat_by_counts
+    from particles_tpu.ops.repeat_kernel import ancestors_by_z
 
-    N = counts.shape[0]
-    return repeat_by_counts(jnp.arange(N, dtype=jnp.int32), counts, M)
+    return ancestors_by_z(jnp.cumsum(counts.astype(jnp.int32)), M)
 
 
 rs_z_funcs = {}
@@ -702,12 +707,27 @@ def residual_counts(key, W, M):
 @resampling_counts_scheme
 def ssp_counts(key, W, M):
     """SSP offspring counts — the scan in :func:`ssp` natively produces
-    counts; see its docstring for the algorithm."""
-    # reuse the ssp machinery up to (and excluding) ancestor expansion
+    counts; see its docstring for the algorithm.
+
+    Eager calls on the CPU backend route to the native C++ kernel
+    (``particles_tpu.native``) when available: the N-step sequential
+    recursion as a single host loop, skipping the lax.scan's multi-second
+    XLA-CPU compile.  Same uniform stream (the draw below); the host
+    kernel scans in float64, so a realisation may differ from the jitted
+    float32 scan at rare rounding ties (identical distribution).
+    """
     N = W.shape[0]
-    A_unused = None
-    del A_unused
-    # inline: run the same scan as ssp()
+    if (jax.default_backend() == "cpu"
+            and not isinstance(W, jax.core.Tracer)
+            and not isinstance(key, jax.core.Tracer)):
+        from particles_tpu import native
+
+        if native.AVAILABLE:
+            import numpy as _np
+
+            u_host = _np.asarray(jax.random.uniform(key, (N - 1,)))
+            return jnp.asarray(
+                native.ssp_counts(_np.asarray(W), int(M), u_host))
     MW = M * W
     nr0 = jnp.floor(MW)
     xi0 = MW - nr0
@@ -735,8 +755,9 @@ def ssp_counts(key, W, M):
         body, (jnp.int32(0), jnp.int32(1), xi0, nr0), (ks, u)
     )
     last_ij = jnp.where(j == N, i, j)
-    missing = jnp.sum(nr) < M - 0.5
-    nr = nr.at[last_ij].add(jnp.where(missing & (xi[last_ij] > 0.99), 1.0, 0.0))
+    # exact round-off fix-up: land whatever is missing on the last active
+    # index so the counts sum to M (the deterministic analog of ssp()'s
+    # final-xi rounding)
     nr = nr.at[last_ij].add(M - jnp.sum(nr))
     return nr.astype(jnp.int32)
 

@@ -25,16 +25,28 @@ __all__ = ["timer", "cartesian_args", "cartesian_lists", "add_to_dict",
 def timer(method):
     """Decorator: store wall-clock time of ``method`` in ``self.cpu_time``.
 
-    Parity with reference ``utils.timer`` (utils.py:81-89).  Blocks on the
-    result so asynchronous dispatch does not hide device time.
+    Parity with reference ``utils.timer`` (utils.py:81-89).  Forces the
+    result to host so asynchronous dispatch does not hide device time —
+    via value transfer, NOT ``jax.block_until_ready`` (which can return
+    early on the axon TPU tunnel; see CLAUDE.md).
     """
+
+    def _force(a):
+        import numpy as np
+
+        try:
+            np.asarray(a)  # value transfer == real synchronisation
+        except Exception:
+            pass  # non-array leaf (e.g. typed PRNG key): nothing to force
+        return a
 
     @functools.wraps(method)
     def timed_method(self, *args, **kwargs):
         starting_time = time.perf_counter()
         out = method(self, *args, **kwargs)
-        jax.block_until_ready(out if out is not None
-                              else getattr(self, "logLt", None))
+        target = out if out is not None else getattr(self, "logLt", None)
+        if target is not None:
+            jax.tree_util.tree_map(_force, target)
         self.cpu_time = time.perf_counter() - starting_time
         return out
 

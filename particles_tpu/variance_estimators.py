@@ -43,8 +43,8 @@ def var_estimate(W, phi_x, B):
         m = jnp.sum(W * phi_x)
         w_phi = W * (phi_x - m)
     out = _sum_over_branches(w_phi, B)
-    collapsed = B[0] == B[-1]
-    return jnp.where(collapsed & jnp.all(B == B[0]), jnp.zeros_like(out), out)
+    collapsed = jnp.all(B == B[0])  # all eve variables identical
+    return jnp.where(collapsed, jnp.zeros_like(out), out)
 
 
 class _EveMixin:
@@ -102,22 +102,24 @@ class Lag_based_var(col.Collector):
         return x if self.phi is None else self.phi(x)
 
     def _estimates(self, view, Abuf):
-        # window genealogy: B[i] = slot-i ancestors of current particles
+        # window genealogy: B[i] = slot-i ancestors of current particles.
+        # Abuf holds the last `lag` ancestor vectors — exactly the rows
+        # the backward composition consumes (a (lag+1)-row ring would
+        # thread a dead row through every scan step)
         def body(B_next, A_t1):
             B_t = jnp.take(A_t1, B_next)
             return B_t, B_t
 
         B_last = jnp.arange(view.N, dtype=jnp.int32)
-        _, B_rev = jax.lax.scan(body, B_last, Abuf[:0:-1])
+        _, B_rev = jax.lax.scan(body, B_last, Abuf[::-1])
         B = jnp.concatenate([B_rev[::-1], B_last[None]], axis=0)
         phi_x = self.test_func(view.X)
         ests = jax.vmap(lambda Bt: var_estimate(view.wgts.W, phi_x, Bt))(B)
         return ests[::-1]  # element i = lag-i estimate
 
     def init(self, view):
-        k = self.lag + 1
         Abuf = jnp.broadcast_to(
-            jnp.arange(view.N, dtype=jnp.int32), (k, view.N)
+            jnp.arange(view.N, dtype=jnp.int32), (self.lag, view.N)
         ).copy()
         return Abuf, self._estimates(view, Abuf)
 

@@ -126,13 +126,9 @@ def autocovariance_fft_single(x, mu=None, bias=True):
     """(n,) FFT autocovariances of one chain (reference
     variance_mcmc.py:67-80): ``res[i]`` is the lag-i autocovariance."""
     x = np.asarray(x, dtype=np.float64)
-    if mu is None:
-        mu = np.mean(x)
-    xc = x - mu
-    n = len(xc)
-    full = np.correlate(xc, xc, mode="full")
-    res = full[n - 1:]
-    return res / n if bias else res / np.arange(n, 0, -1)
+    # one-column case of the shared FFT helper (O(n log n); a full-mode
+    # np.correlate here would be O(n^2) at long chain lengths)
+    return _autocovariances_fft(x[:, None], mu=mu, bias=bias)
 
 
 def default_collector(ls):

@@ -489,3 +489,60 @@ class TestMultiSMCHistoryOptions:
             h = r["output"].hist
             assert isinstance(h, smoothing.PartialParticleHistory)
             assert sorted(h.X) == [t for t in range(T) if t % 10 == 0]
+
+
+class TestRunnerCacheKey:
+    """Regression: unhashable collector config must key the compiled-runner
+    cache by VALUE (raw id() aliases entries after GC address reuse)."""
+
+    def test_list_configs_hash_by_value(self):
+        from particles_tpu.core import _hashable
+
+        assert _hashable([1, 2, 3]) == _hashable([1, 2, 3])
+        assert _hashable([1, 2, 3]) != _hashable([1, 2, 4])
+        assert _hashable({"a": [1]}) == _hashable({"a": [1]})
+        a1 = np.arange(4)
+        assert _hashable(a1) == _hashable(np.arange(4))
+
+    def test_unhashable_opaque_objects_stay_alive(self):
+        import gc
+
+        from particles_tpu.core import _hashable, _IdKey
+
+        class Opaque:
+            __hash__ = None  # unhashable, not a container
+
+        k = _hashable(Opaque())
+        assert isinstance(k, _IdKey)
+        gc.collect()
+        # the key HOLDS the object: its id cannot be recycled while cached
+        assert k.obj is not None and k == k
+
+
+class TestMomentsCheckpoint:
+    """Regression: collector outputs may be pytrees (Moments: dicts) —
+    save_state must round-trip them, not pickle object arrays."""
+
+    def test_moments_roundtrip(self, lg_setup):
+        import os
+        import tempfile
+
+        from particles_tpu import collectors
+
+        ssm, y, _ = lg_setup
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        pf1 = particles.SMC(fk=fk, N=32, key=jax.random.key(3),
+                            collect=[collectors.Moments()])
+        for _ in range(3):
+            next(pf1)
+        path = os.path.join(tempfile.mkdtemp(), "ckpt_mom.pkl")
+        pf1.save_state(path)
+        pf2 = particles.SMC(fk=fk, N=32, key=jax.random.key(0),
+                            collect=[collectors.Moments()])
+        pf2.load_state(path)
+        for _ in pf2:
+            pass
+        assert len(pf2.summaries.moments) == y.shape[0]
+        m0 = pf2.summaries.moments[0]
+        assert np.isfinite(float(m0["mean"]))
+        assert np.isfinite(float(m0["var"]))

@@ -94,3 +94,15 @@ def test_synthetic_fallback_warns():
     with pytest.warns(UserWarning, match="SYNTHETIC"):
         d = Missing()
     assert d.synthetic
+
+
+def test_prepare_predictors_1d_vector():
+    """Regression: a single (n,) predictor must become an (n, 2) design
+    matrix, not a (1, n) all-NaN row (np.atleast_2d footgun)."""
+    from particles_tpu import datasets
+
+    out = datasets.prepare_predictors(np.array([1.0, 2.0, 3.0, 4.0]))
+    assert out.shape == (4, 2)
+    assert np.isfinite(out).all()
+    assert (out[:, 0] == 1.0).all()
+    np.testing.assert_allclose(out[:, 1].std(), 0.5, rtol=1e-6)

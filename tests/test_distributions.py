@@ -353,3 +353,49 @@ class TestStructDist:
         f(dists.Normal(loc=0.0, scale=1.0), x)
         f(dists.Normal(loc=5.0, scale=2.0), x)
         assert len(traces) == 1
+
+
+class TestEdgeCaseRegressions:
+    """Round-3 self-review regressions."""
+
+    def test_beta_f32_boundary_draws_have_finite_logpdf(self):
+        # f32 beta draws hit exactly 0/1 at realistic N; with a,b < 1 the
+        # raw logpdf diverges (+inf) and one such particle NaNs a whole run
+        d = dists.Beta(a=0.3, b=0.3)
+        x = d.rvs(jax.random.key(0), size=200_000)
+        lp = np.asarray(d.logpdf(x))
+        assert np.isfinite(lp).all()
+
+    def test_beta_logpdf_outside_support_is_neg_inf(self):
+        d = dists.Beta(a=2.0, b=3.0)
+        assert float(d.logpdf(jnp.float32(-0.5))) == -np.inf
+        assert float(d.logpdf(jnp.float32(1.5))) == -np.inf
+        # inside the support it still matches scipy
+        x = np.linspace(0.05, 0.95, 7).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(d.logpdf(jnp.asarray(x))),
+            st.beta.logpdf(x, 2.0, 3.0), rtol=1e-4, atol=1e-5)
+
+    def test_binomial_array_n(self):
+        n = jnp.arange(1, 11)
+        x = np.asarray(dists.Binomial(n=n, p=0.5).rvs(jax.random.key(0)))
+        assert x.shape == (10,)
+        assert (x >= 0).all() and (x <= np.arange(1, 11)).all()
+
+    def test_negative_binomial_array_n(self):
+        n = jnp.arange(1, 11)
+        x = np.asarray(
+            dists.NegativeBinomial(n=n, p=0.5).rvs(jax.random.key(0)))
+        assert x.shape == (10,)
+        assert (x >= 0).all()
+
+    def test_geometric_ppf_u_one_is_finite(self):
+        d = dists.Geometric(p=0.3)
+        k1 = int(d.ppf(jnp.float32(1.0)))
+        k2 = int(d.ppf(jnp.float32(1.0) - jnp.finfo(jnp.float32).epsneg))
+        assert k1 == k2  # clamped, NOT the int32 overflow sentinel
+        assert k1 < 2**30
+
+    def test_mvnormal_scalar_loc_without_cov_raises(self):
+        with pytest.raises(ValueError, match="infer the dimension"):
+            dists.MvNormal(loc=0.0)

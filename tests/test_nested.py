@@ -64,3 +64,24 @@ class TestNSSMC:
         pf.run()
         assert np.isinf(float(pf.X.shared["lt"]))
         assert pf.t < 1000
+
+
+class TestNSSMCDone:
+    """Regression: done() must terminate ONLY on lt == +inf; lt == -inf
+    happens mid-run with hard-constrained likelihoods (most particles at
+    llik == -inf) and the level must keep shrinking then."""
+
+    def test_minus_inf_level_does_not_stop(self):
+        from types import SimpleNamespace
+
+        import jax.numpy as jnp
+
+        from particles_tpu import nested
+
+        fk = object.__new__(nested.NestedSamplingSMC)
+        mk = lambda lt: SimpleNamespace(
+            X=SimpleNamespace(shared={"lt": jnp.float32(lt)}))
+        assert fk.done(mk(np.inf)) is True
+        assert fk.done(mk(-np.inf)) is False
+        assert fk.done(mk(1.5)) is False
+        assert fk.done(SimpleNamespace(X=None)) is False

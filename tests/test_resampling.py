@@ -666,10 +666,51 @@ class TestRepeatKernelLeafRouting:
         keys = jax.random.split(jax.random.key(0), 16)
         assert not rk._leaf_routable(keys, 16)
         assert rk._leaf_routable(jnp.zeros(16, jnp.float32), 16)
-        assert rk._leaf_routable(jnp.zeros(16, jnp.int32), 16)
         assert rk._leaf_routable(jnp.zeros(16, jnp.bool_), 16)
         assert not rk._leaf_routable(jnp.zeros(16, jnp.complex64), 16)
         # and the fallback actually serves typed keys
         counts = jnp.array([2] * 8 + [0] * 8, jnp.int32)
         out = jnp.repeat(keys, counts, axis=0, total_repeat_length=16)
         assert out.shape == (16,)
+
+
+class TestCountsAncestorEquivalence:
+    """The documented counts <-> sorted-ancestors contract: bit-exact for
+    the same key for every scheme except residual (whose two forms consume
+    the key through different machinery — both unbiased)."""
+
+    def test_bit_match_per_scheme(self):
+        import jax
+
+        from particles_tpu import resampling as rs
+
+        N = 4096
+        rng = np.random.default_rng(0)
+        W = rs.exp_and_normalise(
+            jnp.asarray(rng.normal(size=N), jnp.float32))
+        for scheme in sorted(rs.rs_counts_funcs):
+            k = jax.random.fold_in(jax.random.key(0), 13)
+            A = np.sort(np.asarray(rs.resampling(scheme, k, W, M=N)))
+            c = np.asarray(rs.resampling_counts(scheme, k, W, M=N))
+            assert c.sum() == N, scheme
+            A2 = np.repeat(np.arange(N), c)
+            if scheme == "residual":
+                assert not np.array_equal(A, A2)  # documented exception
+            else:
+                np.testing.assert_array_equal(A, A2, err_msg=scheme)
+
+    def test_ancestors_by_z_fallback(self):
+        from particles_tpu import ops
+
+        counts = jnp.asarray([0, 3, 1, 0, 2, 0, 1, 1], jnp.int32)
+        A = np.asarray(ops.ancestors_by_z(jnp.cumsum(counts), 8))
+        np.testing.assert_array_equal(
+            A, np.repeat(np.arange(8), np.asarray(counts)))
+
+    def test_int32_user_leaves_not_routed(self):
+        """int32 user values can exceed 2^24 (silently rounded by the f32
+        round-trip) — they must never take the kernel route."""
+        from particles_tpu.ops import repeat_kernel as rk
+
+        assert not rk._leaf_routable(jnp.zeros(16, jnp.int32), 16)
+        assert rk._leaf_routable(jnp.zeros(16, jnp.int16), 16)

@@ -374,3 +374,26 @@ class TestSobolSorted0:
                             key=jax.random.key(1))
         pf.run()
         assert abs(float(pf.logLt) - float(kf.logLt)) < 0.2
+
+
+class TestHilbertSortExactness:
+    """Regression: hilbert_sort must order by the EXACT (hi, lo) key limbs.
+    (A float64-packed key loses the bottom bits of the up-to-62-bit index:
+    measured inverted adjacent pairs at d=4 on clustered clouds.)"""
+
+    def test_order_is_lexicographic_in_exact_limbs(self):
+        from particles_tpu import hilbert
+
+        rng = np.random.default_rng(1)
+        centers = rng.normal(size=(256, 4))
+        x = np.repeat(centers, 16, axis=0) + 1e-7 * rng.normal(
+            size=(4096, 4))
+        xj = jnp.asarray(x, jnp.float32)
+        order = np.asarray(hilbert.hilbert_sort(xj))
+        assert sorted(order.tolist()) == list(range(4096))
+        nbits = max(1, min(62 // 4, 16))
+        xint = hilbert._standardise_and_integerise(xj, nbits)
+        hi, lo = (np.asarray(a).astype(np.uint64)
+                  for a in hilbert.hilbert_index(xint, nbits))
+        keys = (hi[order] << np.uint64(32)) | lo[order]
+        assert (np.diff(keys.astype(object)) >= 0).all()
