@@ -333,7 +333,20 @@ def measure_device():
 
 def main():
     baseline = get_cpu_baseline()
-    anatomy = measure_device()
+    try:
+        anatomy = measure_device()
+    except Exception as e:  # noqa: BLE001
+        # still emit ONE parseable JSON line (value 0 marks the failure —
+        # the axon chip has been observed wedged for hours at a stretch),
+        # then re-raise so the exit code also records it
+        print(json.dumps({
+            "metric": "bootstrap_pf_particle_steps_per_sec_N2e20_T1e3",
+            "value": 0,
+            "unit": "particle-steps/s",
+            "vs_baseline": 0,
+            "error": f"{type(e).__name__}: device benchmark did not run",
+        }))
+        raise
     value = N * T / anatomy["elapsed_s"]
     out = {
         "metric": "bootstrap_pf_particle_steps_per_sec_N2e20_T1e3",
