@@ -356,11 +356,14 @@ def repeat_with_plan_cols(plan, cols, want_anc=False):
         if not chunk:
             if not anc_here:
                 break
-            # ancestors with no payload: serve the iota as the value
-            chunk = [jnp.arange(N, dtype=jnp.int32)]
-            drop_value = True
-        else:
-            drop_value = False
+            # ancestors with no payload: a P=0 kernel instantiation skips
+            # ALL payload work (xrow materialise + select-sum) — roughly
+            # half the per-visit vector ops of a one-payload call
+            (A,) = _repeat_pallas_n(plan.tch, plan.wblk, plan.plast,
+                                    plan.first, plan.zT, (), plan.Mp,
+                                    anc=True)
+            A = A[:N] if pad else A
+            break
         xfs = []
         for x in chunk:
             xf = x.astype(jnp.float32)
@@ -373,11 +376,10 @@ def repeat_with_plan_cols(plan, cols, want_anc=False):
         if anc_here:
             A = outs[-1][:N] if pad else outs[-1]
             outs = outs[:-1]
-        if not drop_value:
-            served.extend(
-                (o[:N] if pad else o).astype(x.dtype)
-                for o, x in zip(outs, chunk)
-            )
+        served.extend(
+            (o[:N] if pad else o).astype(x.dtype)
+            for o, x in zip(outs, chunk)
+        )
     return served, A
 
 

@@ -448,6 +448,11 @@ class TestRepeatKernels:
             assert bool(jnp.all(A5 == A_ref))
             assert bool(jnp.all(
                 y5 == jnp.repeat(x2, counts, axis=0, total_repeat_length=N)))
+            # P=0 anc-only instantiation (no payload at all)
+            served0, A0 = rk.repeat_with_plan_cols(plan, [], want_anc=True)
+            assert served0 == []
+            assert bool(jnp.all(A0 == A_ref))
+            assert bool(jnp.all(rk.ancestors_by_z(zj, N) == A_ref))
         finally:
             rk.pl.pallas_call = orig
             rk._on_tpu = orig_on_tpu
