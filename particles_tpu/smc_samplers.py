@@ -276,12 +276,19 @@ class ThetaParticles(Pytree):
         return ThetaParticles(shared=dict(self.shared), **new)
 
     def subset_by_counts(self, counts, M):
-        """Resampling move by offspring counts (sorted ancestors)."""
-        return self.map_fields(
-            lambda a: __import__("particles_tpu.ops", fromlist=["ops"]).repeat_by_counts(a, counts, M)
-            if a.ndim == 1
-            else jnp.repeat(a, counts, axis=0, total_repeat_length=M)
-        )
+        """Resampling move by offspring counts (sorted ancestors).
+
+        All kernel-routable leaves (1-D and (N, d<=2) float columns)
+        share ONE fused Pallas serve — the plan is built once and the
+        columns ride a single call's z-side select (core._repeat_z).
+        When the kernel route is unavailable (CPU, M != N as in the
+        waste-free shape change) every leaf falls back to
+        ``jnp.repeat``."""
+        from particles_tpu import core
+
+        z = jnp.cumsum(counts.astype(jnp.int32))
+        served, _, _, _ = core._repeat_z(self._particle_fields(), z, M)
+        return ThetaParticles(shared=dict(self.shared), **served)
 
     def subset(self, A):
         """Resampling move by ancestor indices (reference fancy indexing,
