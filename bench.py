@@ -42,6 +42,9 @@ T = 1_000
 RHO, SIGX, SIGY = 0.9, 1.0, 0.2
 ESSRMIN = 0.5
 HBM_GBPS = 819.0  # v5e HBM bandwidth roofline
+# measured VPU-class floor for exact repeat-by-counts at N=2^20 on v5e
+# (see the anatomy block below and BASELINE.md "Measured round 3")
+VPU_FLOOR_MS = 3.0
 
 
 def measure_cpu_baseline(n=N, t_steps=50):
@@ -264,6 +267,18 @@ def measure_device():
             "resampling_gbps": round(rs_gbps, 1),
             "resampling_pct_hbm_roofline": round(
                 100.0 * rs_gbps / HBM_GBPS, 2),
+            # the HONEST roofline for this op class (VERDICT r3 task 7):
+            # the repeat kernel is VPU-issue-bound, not HBM-bound — the
+            # round-2b/3 campaigns measured three fundamentally different
+            # exact algorithms (two-level select 3.27, masked-sum
+            # telescoping 3.17, XLA scatter+forward-fill 6.70 ms/iter)
+            # and an op-count argument puts every exact monotone-gather
+            # at ~20 (128,128)-class VPU ops per (1,128) output row:
+            # ~2.3 ms pure VPU work + ~0.7 ms mandatory prep/transpose
+            # glue at N=2^20 (BASELINE.md "Measured round 3")
+            "resampling_vpu_floor_ms": VPU_FLOOR_MS,
+            "resampling_pct_vpu_floor": round(
+                100.0 * VPU_FLOOR_MS / resample_ms, 1),
         }
 
     try:
@@ -328,6 +343,93 @@ def measure_device():
         out.update(_with_alarm(extra_shapes, 420))
     except Exception as e:  # noqa: BLE001 — keep the headline alive
         out["extra_shapes"] = f"failed: {type(e).__name__}"
+
+    # round-4 sampler headlines (VERDICT r3 task 3): the reference's
+    # published perf story is sampler wall-clocks (smc2_stochvol_leverage
+    # "~2 h", pmmh_lingauss ">10 h") — measure the two canonical samplers
+    # end-to-end.  Both are stepping/chunked programs, so wall-clock of a
+    # SECOND run (same key: identical adaptive path, all steps compiled)
+    # is the honest execution time.
+    def samplers():
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        import particles_tpu as particles
+        from particles_tpu import datasets
+        from particles_tpu import distributions as dists
+        from particles_tpu import mcmc
+        from particles_tpu import smc_samplers as ssp
+        from particles_tpu import state_space_models as ssms
+
+        # --- adaptive tempering, Pima logistic regression, waste-free ---
+        ds = datasets.Pima()
+        data = jnp.asarray(ds.data, jnp.float32)
+        p = data.shape[1]
+
+        class LogisticRegression(ssp.StaticModel):
+            def logpyt(self, theta, t):
+                lin = jnp.einsum(
+                    "np,p->n",
+                    jnp.atleast_2d(jnp.stack(
+                        [theta[f"b{j}"] for j in range(p)], axis=-1)),
+                    self.data[t])
+                return -jax.nn.softplus(-lin)
+
+        prior = dists.StructDist(
+            {f"b{j}": dists.Normal(scale=5.0) for j in range(p)})
+        model = LogisticRegression(data=data, prior=prior)
+
+        def run_tempering():
+            fk = ssp.AdaptiveTempering(model=model, len_chain=30,
+                                       ESSrmin=0.5)
+            pf = particles.SMC(fk=fk, N=100, key=jax.random.key(0))
+            pf.run()
+            return float(pf.logLt)
+
+        logev = run_tempering()          # compile all adaptive steps
+        assert np.isfinite(logev)
+        t0 = time.perf_counter()
+        logev = run_tempering()          # same key: pure execution
+        el_t = time.perf_counter() - t0
+        assert np.isfinite(logev)
+
+        # --- one PMMH chain: StochVol, Nx=100, 3000 iterations ---
+        T_pm, Nx, niter = 200, 100, 3000
+        true = ssms.StochVol(mu=-1.0, rho=0.9, sigma=0.3)
+        _, y = true.simulate(jax.random.key(0), T_pm)
+        prior_pm = dists.StructDist({
+            "mu": dists.Normal(scale=2.0),
+            "rho": dists.Uniform(a=-0.99, b=0.99),
+            "sigma": dists.Gamma(a=2.0, b=4.0),
+        })
+
+        def run_pmmh():
+            m = mcmc.PMMH(ssm_cls=ssms.StochVol, prior=prior_pm, data=y,
+                          Nx=Nx, niter=niter, key=jax.random.key(1))
+            m.run()
+            return m
+
+        m = run_pmmh()                   # compile the chunked chain scans
+        t0 = time.perf_counter()
+        m = run_pmmh()                   # re-execute (cached compiles)
+        el_p = time.perf_counter() - t0
+        acc = float(m.acc_rate)
+        assert 0.0 < acc < 0.9, acc
+        return {
+            "tempering_pima_wastefree_s": round(el_t, 3),
+            "tempering_config": "Pima logistic, N=100 len_chain=30, "
+                                "adaptive (ref: smc_samplers defaults)",
+            "pmmh_stochvol_3k_s": round(el_p, 3),
+            "pmmh_config": f"StochVol T={T_pm} Nx={Nx} niter={niter} "
+                           "(ref pmmh studies: >10h for 1e5 iters)",
+            "pmmh_acc_rate": round(acc, 3),
+        }
+
+    try:
+        out.update(_with_alarm(samplers, 900))
+    except Exception as e:  # noqa: BLE001 — keep the headline alive
+        out["samplers"] = f"failed: {type(e).__name__}"
     return out
 
 

@@ -181,9 +181,15 @@ def _qmc_reorder(X, extras):
     """
     from particles_tpu import hilbert
 
-    if X.ndim == 1:
-        out = hilbert.hilbert_sort_with(X, (X,) + tuple(extras))
-        return out[0], out[1:]
+    if X.ndim == 1 or X.shape[1] == 1:
+        # 1-d Hilbert order = plain sort on X itself, so the sorted KEY
+        # is the sorted state — don't carry X as a payload too (one
+        # fewer (N,) operand in the sort, ~0.4 ms at N=2^20)
+        xkey = X if X.ndim == 1 else X[:, 0]
+        out = jax.lax.sort((xkey,) + tuple(extras), num_keys=1,
+                           is_stable=True)
+        Xs = out[0] if X.ndim == 1 else out[0][:, None]
+        return Xs, out[1:]
     d = X.shape[1]
     cols = tuple(X[:, j] for j in range(d)) + tuple(extras)
     out = hilbert.hilbert_sort_with(X, cols)
@@ -312,7 +318,19 @@ def _repeat_z(X, z, M, use_pallas=True, want_anc=False, extras=()):
         return (jax.tree_util.tree_map(rep, X), rep, A,
                 tuple(rep(e) for e in extras))
     rep = lambda leaf: ops.repeat_with_plan(plan, leaf)
-    N = z.shape[0]
+    X_served, A, extras_served = _serve_with_plan(plan, X, extras, want_anc)
+    return X_served, rep, A, extras_served
+
+
+def _serve_with_plan(plan, X, extras, want_anc):
+    """Shared leaf packing for the fused kernel serve: flatten the state
+    pytree, route every kernel-routable column through ONE fused
+    ``repeat_with_plan_cols`` call (ancestors riding when ``want_anc``),
+    fall back per-leaf otherwise."""
+    from particles_tpu import ops
+    from particles_tpu.ops import repeat_kernel as rk
+
+    N = plan.M
     leaves, treedef = jax.tree_util.tree_flatten(X)
     all_leaves = list(leaves) + list(extras)
     cols, col_ix = [], []
@@ -332,7 +350,7 @@ def _repeat_z(X, z, M, use_pallas=True, want_anc=False, extras=()):
     served_all = []
     for leaf, ix in zip(all_leaves, col_ix):
         if ix is None:
-            served_all.append(rep(leaf))
+            served_all.append(ops.repeat_with_plan(plan, leaf))
         elif leaf.ndim == 1:
             served_all.append(served_cols[ix[0]])
         else:
@@ -340,7 +358,33 @@ def _repeat_z(X, z, M, use_pallas=True, want_anc=False, extras=()):
                 jnp.stack([served_cols[j] for j in ix], axis=1))
     n_state = len(leaves)
     X_served = jax.tree_util.tree_unflatten(treedef, served_all[:n_state])
-    return X_served, rep, A, tuple(served_all[n_state:])
+    return X_served, A, tuple(served_all[n_state:])
+
+
+def _repeat_su(X, su, cs, want_anc=False, extras=()):
+    """Fused inverse-CDF serve DIRECTLY from (sorted uniforms, monotone
+    cumulative weights): ``Y[j] = X[i]`` with ``cs_{i-1} < su_j <= cs_i``
+    — one kernel, no merge-rank count, no materialised z (see
+    ops.make_repeat_plan_su; measured 3.25 vs 5.58 ms/iter for the
+    merge-rank + z-plan pipeline at N=2^20 on v5e).
+
+    Returns ``(X_served, A, extras_served)`` or None when the kernel
+    route is unavailable (non-TPU, unrouteable leaf) — callers fall back
+    to the merge-rank z path.  ``cs[-1]`` must dominate every ``su``
+    (pin it to 1.0; uniform/Sobol draws are < 1).
+    """
+    from particles_tpu import ops
+    from particles_tpu.ops import repeat_kernel as rk
+
+    N = su.shape[0]
+    leaves = jax.tree_util.tree_leaves(X)
+    if not all(rk._leaf_routable(leaf, N)
+               for leaf in list(leaves) + list(extras)):
+        return None
+    plan = ops.make_repeat_plan_su(su, cs, N)
+    if plan is None:
+        return None
+    return _serve_with_plan(plan, X, extras, want_anc)
 
 
 def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
@@ -397,15 +441,13 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
 
         The shared systematic uniform comes from the replicated k_rs; the
         APF reset weights follow reference core.py:307-313 with
-        log_mean_exp's reductions global via the dist context and the
-        served logeta payload standing in for rep(logetat).
+        log_mean_exp's reductions global via the dist context and
+        logeta recomputed on the served particles.
         """
         from particles_tpu.parallel import distributed as dist
 
         u = jax.random.uniform(k_rs, ())
         payload = {"x": X}
-        if fk.isAPF:
-            payload["eta"] = logetat
         if need_gen:
             served, A = dist.ring_systematic_resample(
                 payload, aux.lw, u, Ng, dctx.axis, dctx.D,
@@ -416,7 +458,11 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
             A = shard * N + jnp.arange(N, dtype=jnp.int32)
         Xp = served["x"]
         if fk.isAPF:
-            reset_lw = rs.log_mean_exp(logetat, lw=wgts.lw) - served["eta"]
+            # recompute the aux weights from the served particles (logeta
+            # is pure in the particle value — float-exact) instead of
+            # ringing the eta column
+            reset_lw = (rs.log_mean_exp(logetat, lw=wgts.lw)
+                        - fk.logeta(t - 1, Xp))
         else:
             reset_lw = jnp.zeros(N, dtype=lw.dtype)
         return Xp, reset_lw, A
@@ -431,27 +477,24 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
             # ancestors only when the genealogy is consumed (need_gen):
             # XLA does NOT dead-code-eliminate pallas custom-calls, so an
             # unconditional serve would cost real work per step; when
-            # consumed they ride the state's fused kernel call, as does
-            # the APF aux-weight payload
-            Xp, rep, A, served_extra = _repeat_z(
-                X, z, N, use_pallas=constrain is None, want_anc=need_gen,
-                extras=(logetat,) if fk.isAPF else ())
+            # consumed they ride the state's fused kernel call
+            Xp, rep, A, _ = _repeat_z(
+                X, z, N, use_pallas=constrain is None, want_anc=need_gen)
             if A is None:
                 A = jnp.arange(N, dtype=jnp.int32)
-            if fk.isAPF:
-                reset_lw = (rs.log_mean_exp(logetat, lw=wgts.lw)
-                            - served_extra[0])
-            else:
-                reset_lw = jnp.zeros(N, dtype=lw.dtype)
         else:
             A = rs.resampling(resampling_scheme, k_rs, aux.W, M=N)
             Xp = _gather(X, A)
-            if fk.isAPF:
-                reset_lw = rs.log_mean_exp(logetat, lw=wgts.lw) - jnp.take(
-                    logetat, A
-                )
-            else:
-                reset_lw = jnp.zeros(N, dtype=lw.dtype)
+        if fk.isAPF:
+            # recompute the served aux weights from the served particles
+            # (logeta is pure in the particle value, so this is
+            # float-exact vs serving/gathering the precomputed column) —
+            # one elementwise model eval (~0.1 ms at N=2^20 for
+            # StochVol) instead of a ~1.7 ms fused kernel column
+            reset_lw = (rs.log_mean_exp(logetat, lw=wgts.lw)
+                        - fk.logeta(t - 1, Xp))
+        else:
+            reset_lw = jnp.zeros(N, dtype=lw.dtype)
         return Xp, reset_lw, A
 
     def no_resample(X, lw):
@@ -556,8 +599,6 @@ def _step_qmc(fk, carry, t, N, ESSrmin, summaries, constrain=None,
         sorted_u = tuple(us[:, j] for j in range(du + 1))
         su = sorted_u[0]
         payload = {"x": X}
-        if fk.isAPF:
-            payload["eta"] = logetat
         if need_gen:
             served, A_h = dqmc.ring_merge_resample(
                 payload, su, aux.W, dctx.axis, dctx.D,
@@ -568,7 +609,12 @@ def _step_qmc(fk, carry, t, N, ESSrmin, summaries, constrain=None,
             A_h = None
         Xp = served["x"]
         if fk.isAPF:
-            lw_reset = rs.log_mean_exp(logetat, lw=wgts.lw) - served["eta"]
+            # recompute the aux weights from the served particles instead
+            # of ringing the eta column (logeta is pure in the particle
+            # value — float-exact, and one elementwise eval is cheaper
+            # than a ring payload)
+            lw_reset = (rs.log_mean_exp(logetat, lw=wgts.lw)
+                        - fk.logeta(t - 1, Xp))
         else:
             lw_reset = jnp.zeros(N, dtype=lw.dtype)
     else:
@@ -589,20 +635,34 @@ def _step_qmc(fk, carry, t, N, ESSrmin, summaries, constrain=None,
         # so the merge-rank z needs no cummax wave (and the XLA cumsum +
         # normalising divide collapse into one streaming pass)
         cs, cs_mono = rs._normalised_cumsum_mono(aux.W)
-        z = rs._merge_rank_counts(su, cs, N)
-        z = z.at[-1].set(N)
-        if not cs_mono:
-            z = rs._monotone_z(z)
-        # ancestor indices are only materialised when something consumes
-        # the genealogy (history, genealogy-reading collectors); need_gen
-        # is static.  When consumed they ride the state's fused kernel
-        # call, as does the APF aux-weight payload
-        Xp, rep, A_h, served_extra = _repeat_z(
-            X, z, N, use_pallas=use_pallas, want_anc=need_gen,
-            extras=(logetat,) if fk.isAPF else ())
+        # fused su-mode serve when routable: the repeat kernel consumes
+        # (su, cs) directly — no merge-rank count kernel, no z (measured
+        # 3.25 vs 5.58 ms at N=2^20).  Requires monotone cs with the top
+        # pinned above every su (the z-form's z[-1]=N convention).
+        served = None
+        if cs_mono and use_pallas:
+            served = _repeat_su(X, su, cs.at[-1].set(jnp.float32(1.0)),
+                                want_anc=need_gen)
+        if served is not None:
+            # ancestor indices are only materialised when something
+            # consumes the genealogy (history, genealogy-reading
+            # collectors); need_gen is static
+            Xp, A_h, _ = served
+        else:
+            z = rs._merge_rank_counts(su, cs, N)
+            z = z.at[-1].set(N)
+            if not cs_mono:
+                z = rs._monotone_z(z)
+            Xp, rep, A_h, _ = _repeat_z(
+                X, z, N, use_pallas=use_pallas, want_anc=need_gen)
         if fk.isAPF:
+            # recompute the served aux weights from the served particles
+            # (logeta is a pure function of the particle value, so this
+            # is float-exact vs serving the precomputed column) — one
+            # elementwise model eval (~0.1 ms at N=2^20 for StochVol)
+            # instead of a ~1.7 ms fused kernel column
             lw_reset = (rs.log_mean_exp(logetat, lw=wgts.lw)
-                        - served_extra[0])
+                        - fk.logeta(t - 1, Xp))
         else:
             lw_reset = jnp.zeros(N, dtype=lw.dtype)
 
@@ -928,12 +988,6 @@ class SMC:
                     "save mid-run)"
                 )
             raise ValueError("save_state: nothing to save (run a step first)")
-        if self._hist_obj is not None:
-            raise NotImplementedError(
-                "save_state: rolling/partial history checkpointing is not "
-                "supported; use store_history=True or False"
-            )
-
         def to_np(leaf):
             # typed PRNG keys cannot round-trip through numpy directly
             if hasattr(leaf, "dtype") and jnp.issubdtype(
@@ -954,9 +1008,31 @@ class SMC:
         }
         if getattr(self, "_hist_frames", None):
             state["hist_frames"] = dump_tree(self._hist_frames)
-        if self.hist is not None and hasattr(self.hist, "save") and hasattr(
-            self.hist, "X"
-        ):  # sampler history (per-time lists/deques of pytrees); deques
+        if self._hist_obj is not None:
+            # rolling/partial history (round 4, closing the last
+            # checkpoint hole): deques/dicts are not pytree nodes, so
+            # materialise as lists (+ the partial save times)
+            from particles_tpu import smoothing
+
+            h = self._hist_obj
+            if isinstance(h, smoothing.RollingParticleHistory):
+                state["windowed_hist"] = (
+                    "rolling",
+                    dump_tree((list(h.X), list(h.A), list(h.wgts))),
+                    None,
+                )
+            else:  # PartialParticleHistory
+                times = sorted(h.X)
+                state["windowed_hist"] = (
+                    "partial",
+                    dump_tree(([h.X[t] for t in times],
+                               [h.wgts[t] for t in times])),
+                    times,
+                )
+        if (self.hist is not None and self.hist is not self._hist_obj
+                and hasattr(self.hist, "save") and hasattr(self.hist, "X")
+                and hasattr(self.hist, "times")):
+            # sampler history (per-time lists/deques of pytrees); deques
             # are not pytree nodes, so materialise as lists before dumping
             state["sampler_hist"] = dump_tree(
                 (list(self.hist.X), list(self.hist.wgts)))
@@ -1006,6 +1082,30 @@ class SMC:
         self._hist_frames = (
             load_tree(state["hist_frames"]) if "hist_frames" in state else []
         )
+        if "windowed_hist" in state:
+            # rolling/partial history: refill the (fresh) object built by
+            # __init__ from the same store_history option
+            kind, dumped, times = state["windowed_hist"]
+            h = self._hist_obj
+            if h is None:
+                raise ValueError(
+                    "load_state: checkpoint carries rolling/partial "
+                    "history but this SMC was constructed with "
+                    f"store_history={self.hist_option!r}")
+            if kind == "rolling":
+                X_l, A_l, w_l = load_tree(dumped)
+                h.X.clear(), h.A.clear(), h.wgts.clear()
+                for x, a, w in zip(X_l, A_l, w_l):
+                    h.X.append(x)
+                    h.A.append(a)
+                    h.wgts.append(w)
+            else:
+                X_l, w_l = load_tree(dumped)
+                h.X.clear(), h.wgts.clear()
+                for t, x, w in zip(times, X_l, w_l):
+                    h.X[t] = x
+                    h.wgts[t] = w
+            self.hist = h
         if "sampler_hist" in state:
             from particles_tpu.smc_samplers import SamplerHistory
 

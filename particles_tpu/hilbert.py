@@ -97,6 +97,25 @@ def hilbert_array(xint, nbits=None):
     return hilbert_index(xint, nbits)
 
 
+def sort_nbits(N, d):
+    """Per-coordinate bit budget for Hilbert SORT keys.
+
+    SQMC only needs the curve order to be fine enough that each cell of
+    the 2^(d*nbits) grid holds O(1) points — resolution beyond
+    ~log2(N) + 4 total bits is statistically irrelevant (ties within a
+    cell are an arbitrary-but-fixed order, like the curve's own
+    arbitrary within-cell order).  Budgeting ceil((log2 N + 4) / d) bits
+    per coordinate keeps the interleaved key in ONE uint32 limb for all
+    practical (N, d) — a single-key ``lax.sort`` instead of the two-limb
+    lexicographic sort (measured: two-limb co-sorting d+2 payloads was
+    the dominant SQMC step cost at d >= 2).  Full-resolution indexing
+    (``hilbert_array`` / ``Hilbert_to_int``) keeps the reference's
+    62-bit budget.
+    """
+    total = max(1, (N - 1).bit_length()) + 4
+    return max(1, min(-(-total // d), 62 // d, 16))
+
+
 def invlogit(x):
     """Logistic CDF (reference hilbert.py exposes the same helper used by
     its ``hilbert_sort`` preprocessing)."""
@@ -127,9 +146,12 @@ def hilbert_sort(x, nbits=None):
     if d == 1:
         return jnp.argsort(x[:, 0]).astype(jnp.int32)
     if nbits is None:
-        nbits = max(1, min(62 // d, 16))
+        nbits = sort_nbits(x.shape[0], d)
     xint = _standardise_and_integerise(x, nbits)
     hi, lo = hilbert_index(xint, nbits)
+    if d * nbits <= 32:
+        # the whole interleaved key fits the low limb: one argsort
+        return jnp.argsort(lo, stable=True).astype(jnp.int32)
     # lexicographic argsort on the (hi, lo) limbs: two-pass stable
     # argsort (lo then hi).  NEVER pack the limbs into one float64 key —
     # keys are up to 62 bits wide and float64 carries 53 significand
@@ -159,9 +181,14 @@ def hilbert_sort_with(x, payloads, nbits=None):
         return out[1:]
     d = x.shape[1]
     if nbits is None:
-        nbits = max(1, min(62 // d, 16))
+        nbits = sort_nbits(x.shape[0], d)
     xint = _standardise_and_integerise(x, nbits)
     hi, lo = hilbert_index(xint, nbits)
+    if d * nbits <= 32:
+        # single-limb key (see sort_nbits): one fewer sort operand
+        out = jax.lax.sort((lo,) + tuple(payloads), num_keys=1,
+                           is_stable=True)
+        return out[1:]
     out = jax.lax.sort((hi, lo) + tuple(payloads), num_keys=2,
                        is_stable=True)
     return out[2:]

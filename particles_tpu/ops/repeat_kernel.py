@@ -60,14 +60,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["repeat_by_counts", "repeat_by_z", "make_repeat_plan",
-           "repeat_with_plan", "repeat_with_plan_anc",
-           "repeat_with_plan_cols"]
+           "make_repeat_plan_su", "repeat_with_plan",
+           "repeat_with_plan_anc", "repeat_with_plan_cols"]
 
 _C = 1024   # outputs per chunk == sources per block
 _R = _C // 128
 
 
-def _make_visit_kernel(P, anc):
+def _make_visit_kernel(P, anc, su_in=False):
     """Visit-kernel factory for ``P`` fused payloads (plus, when ``anc``,
     the ancestor-index output).
 
@@ -76,9 +76,21 @@ def _make_visit_kernel(P, anc):
     each extra payload adds only its xrow materialise (R wheres) and
     one select-sum, ~43% of a standalone call.  The ancestor output is
     cheaper still: the serving source index is ``wblk*C + rb*128 + c``,
-    already in hand from the select, so it costs three (1,128) int ops."""
+    already in hand from the select, so it costs three (1,128) int ops.
+
+    ``su_in`` is the fused inverse-CDF mode (see
+    :func:`make_repeat_plan_su`): instead of the output-index iota,
+    ``jrow`` is loaded from an extra per-output-chunk block input holding
+    ``bitcast(su) - 1`` and ``zT`` holds ``bitcast(cs)`` — the bitcast of
+    nonnegative f32 to int32 is order-preserving, so the integer select
+    body below is UNCHANGED (``cs_k < su_j`` ⟺ ``cs_b <= su_b - 1``,
+    matching every ``<=`` below).  This serves inverse-CDF resampling
+    directly from (sorted uniforms, cumulative weights) with no separate
+    merge-rank count kernel and no materialised z."""
 
     def kernel(tref, wref, pref, fref, zT_ref, *refs):
+        su_ref = refs[0] if su_in else None
+        refs = refs[1:] if su_in else refs
         xrefs = refs[:P]
         yrefs = refs[P:2 * P]
         a_ref = refs[2 * P] if anc else None
@@ -94,7 +106,10 @@ def _make_visit_kernel(P, anc):
         rows = [[] for _ in range(P)]
         arows = []
         for og in range(R):
-            jrow = j0 + og * 128 + lane
+            if su_in:
+                jrow = su_ref[og:og + 1, :]  # (1,128) bitcast(su)-1
+            else:
+                jrow = j0 + og * 128 + lane
             valid = jrow >= plast
             # level 1: source rows fully below j ((1,128) compares)
             rb = jnp.zeros((1, 128), jnp.int32)
@@ -154,9 +169,12 @@ class RepeatPlan(NamedTuple):
     plast: jnp.ndarray  # (NV,) z before the visited block (gate + offset)
     first: jnp.ndarray  # (NV,) 1 on the first visit of each chunk
     zT: jnp.ndarray     # (Mp//128 * 128? , R) transposed padded z
-    z: jnp.ndarray      # (N,) original (unpadded) z, for fallbacks
+    z: jnp.ndarray      # (N,) original (unpadded) z; None for su-plans
     M: int              # logical output length
     Mp: int             # padded length (multiple of _C)
+    suI: jnp.ndarray = None   # su-mode: (Mp//128, 128) bitcast(su)-1
+    su: jnp.ndarray = None    # su-mode: original sorted uniforms (fallback)
+    cs: jnp.ndarray = None    # su-mode: original cumulative weights
 
 
 def make_repeat_plan(z, M):
@@ -217,12 +235,89 @@ def make_repeat_plan(z, M):
     return RepeatPlan(tch, wblk, plast, first, zT, z, M, Mp)
 
 
+def make_repeat_plan_su(su, cs, M):
+    """Visit-list plan for the fused inverse-CDF serve
+    ``Y[j] = X[i(j)]`` with ``i(j) = #{i: cs_i < su_j}`` — i.e.
+    ``cs_{i-1} < su_j <= cs_i`` — phrased DIRECTLY on the sorted uniforms
+    ``su`` and the normalised cumulative weights ``cs``, with no
+    merge-rank count kernel and no materialised z (the z-form and this
+    are mathematically identical: ``z_{i-1} <= j < z_i`` with
+    ``z_i = #{j: su_j <= cs_i}`` says exactly ``su_j ∈ (cs_{i-1}, cs_i]``;
+    reference ``resampling.py:484-509``).
+
+    Requirements: ``su`` sorted nonnegative f32; ``cs`` nondecreasing
+    nonnegative f32 with ``cs[-1] >= su[-1]`` (callers pin
+    ``cs[-1] = 1.0``; Sobol/uniform draws are < 1).  All compares happen
+    on int32 bitcasts — order-preserving for nonnegative f32 and exact —
+    so the kernel reuses the integer two-level select unchanged with
+    ``jrow := bitcast(su) - 1`` (strict/non-strict flip: ``cs < su`` ⟺
+    ``cs_b <= su_b - 1``).
+
+    Returns None when the kernel route is unavailable (non-TPU backend,
+    M != N, N < 1024); callers fall back to the merge-rank z path.
+    """
+    N = cs.shape[0]
+    if not (_on_tpu() and M == N and N >= _C and su.shape[0] == N
+            and su.dtype == jnp.float32 and cs.dtype == jnp.float32):
+        return None
+    csb = jax.lax.bitcast_convert_type(cs, jnp.int32)
+    sub = jax.lax.bitcast_convert_type(su, jnp.int32) - 1
+    pad = (-N) % _C
+    if pad:
+        # padded outputs (su' = bitcast(2.0)-1, above every real cs <= 1)
+        # are absorbed by padded sources (cs = 2.0), then sliced away
+        TWO = jnp.int32(0x40000000)  # bitcast(2.0f)
+        csb = jnp.concatenate([csb, jnp.full(pad, TWO, jnp.int32)])
+        sub = jnp.concatenate([sub, jnp.full(pad, TWO - 1, jnp.int32)])
+    Mp = N + pad
+    C, R = _C, _R
+    nchunks = Mp // C
+    nblocks = nchunks
+    NV = 2 * nchunks
+    zbl = csb[C - 1::C]            # cs bitcast at block ends
+    b_lo = sub[0::C]               # first su' of each output chunk
+    b_hi = sub[C - 1::C]           # last su' of each output chunk
+    # serving block of output j = #{w: zbl[w] <= su'_j} (rows fully
+    # below); broadcast compare-and-count as in make_repeat_plan
+    w_start = jnp.clip(
+        jnp.sum((zbl[None, :] <= b_lo[:, None]).astype(jnp.int32), axis=1),
+        0, nblocks - 1)
+    w_end = jnp.maximum(jnp.clip(
+        jnp.sum((zbl[None, :] <= b_hi[:, None]).astype(jnp.int32), axis=1),
+        0, nblocks - 1), w_start)
+    cnt = w_end - w_start + 1
+    s_incl = jnp.cumsum(cnt)
+    s_excl = s_incl - cnt
+    v = jnp.arange(NV, dtype=jnp.int32)
+    tch = jnp.clip(
+        jnp.sum((s_incl[None, :] <= v[:, None]).astype(jnp.int32), axis=1),
+        0, nchunks - 1)
+    active = v < s_incl[-1]
+    wblk = jnp.clip(jnp.take(w_start, tch) + (v - jnp.take(s_excl, tch)),
+                    0, nblocks - 1)
+    tch = jnp.where(active, tch, nchunks - 1)
+    wblk = jnp.where(active, wblk, nblocks - 1)
+    INT_MIN, INT_MAX = jnp.int32(-2**31), jnp.int32(2**31 - 1)
+    plast = jnp.where(wblk >= 1, jnp.take(zbl, jnp.clip(wblk - 1, 0, None)),
+                      INT_MIN)  # su' >= -1 > INT_MIN: first block all-valid
+    plast = jnp.where(active, plast, INT_MAX)  # inactive: no writes
+    first = jnp.concatenate([
+        jnp.ones(1, jnp.int32), (tch[1:] != tch[:-1]).astype(jnp.int32)])
+    zT = csb.reshape(nblocks, R, 128).swapaxes(1, 2).reshape(nblocks * 128, R)
+    suI = sub.reshape(Mp // 128, 128)
+    return RepeatPlan(tch, wblk, plast, first, zT, None, M, Mp,
+                      suI=suI, su=su, cs=cs)
+
+
 @functools.partial(jax.jit, static_argnames=("Mp", "anc"))
 def _repeat_pallas_n(plan_tch, plan_wblk, plan_plast, plan_first, zT, xfs,
-                     Mp, anc=False):
+                     Mp, anc=False, suI=None):
     """xfs: tuple of P (Mp,) float32 payloads -> tuple of P (Mp,) served
     float32 arrays (+ one (Mp,) int32 ancestor array when ``anc``) — one
-    fused pallas_call sharing the z-side select work."""
+    fused pallas_call sharing the z-side select work.  When ``suI`` is
+    given (su-mode, :func:`make_repeat_plan_su`) it is the
+    (Mp//128, 128) per-output ``bitcast(su)-1`` table, streamed per
+    output chunk in place of the output-index iota."""
     R = _R
     nblocks = Mp // _C
     NV = plan_tch.shape[0]
@@ -239,17 +334,22 @@ def _repeat_pallas_n(plan_tch, plan_wblk, plan_plast, plan_first, zT, xfs,
     if anc:
         out_shape.append(jax.ShapeDtypeStruct((Mp // 128, 128), jnp.int32))
         out_specs.append(out_spec)
+    su_in = suI is not None
+    su_args = (suI,) if su_in else ()
+    # the su table rides the OUT index map (per output chunk, natural
+    # orientation), between the cs/z source spec and the payload sources
+    su_specs = [out_spec] if su_in else []
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(NV,),
-        in_specs=[src_spec] * (1 + P),
+        in_specs=[src_spec] + su_specs + [src_spec] * P,
         out_specs=tuple(out_specs),
     )
     outs = pl.pallas_call(
-        _make_visit_kernel(P, anc),
+        _make_visit_kernel(P, anc, su_in=su_in),
         out_shape=tuple(out_shape),
         grid_spec=grid_spec,
-    )(plan_tch, plan_wblk, plan_plast, plan_first, zT, *xTs)
+    )(plan_tch, plan_wblk, plan_plast, plan_first, zT, *su_args, *xTs)
     return tuple(o.reshape(-1) for o in outs)
 
 
@@ -303,10 +403,16 @@ def repeat_with_plan(plan, x):
     NOT int32/int64) through the Pallas kernel (columns FUSED into one
     call sharing the z-side select); anything else falls back to
     ``jnp.repeat`` with counts recovered from ``plan.z`` (measured
-    cheaper for d >= 3 — XLA's 2-D row-repeat amortises).
+    cheaper for d >= 3 — XLA's 2-D row-repeat amortises), or to
+    searchsorted + take for su-plans (which carry no z).
     """
-    N = plan.z.shape[0]
+    N = plan.M
     if not _leaf_routable(x, N):
+        if plan.z is None:  # su-plan: ancestor gather (exact, same ties)
+            A = jnp.clip(
+                jnp.searchsorted(plan.cs, plan.su, side="left"),
+                0, N - 1).astype(jnp.int32)
+            return jnp.take(x, A, axis=0)
         counts = jnp.diff(plan.z, prepend=jnp.zeros(1, jnp.int32))
         return jnp.repeat(x, counts, axis=0, total_repeat_length=plan.M)
     if x.ndim == 1:
@@ -329,7 +435,7 @@ def repeat_with_plan_anc(plan, x):
     Falls back to two plain serves when the payload is not kernel-
     routable.  Returns ``(y, A)``.
     """
-    N = plan.z.shape[0]
+    N = plan.M
     if not (x.ndim == 1 and _leaf_routable(x, N)):
         (_, A) = repeat_with_plan_cols(plan, [], want_anc=True)
         return repeat_with_plan(plan, x), A
@@ -347,7 +453,7 @@ def repeat_with_plan_cols(plan, cols, want_anc=False):
     are chunked, the ancestor output riding the first chunk.  Returns
     ``(served_list, A_or_None)``.
     """
-    N = plan.z.shape[0]
+    N = plan.M
     pad = plan.Mp - N
     served, A = [], None
     for s in range(0, max(len(cols), 1), _MAX_FUSE):
@@ -361,7 +467,7 @@ def repeat_with_plan_cols(plan, cols, want_anc=False):
             # half the per-visit vector ops of a one-payload call
             (A,) = _repeat_pallas_n(plan.tch, plan.wblk, plan.plast,
                                     plan.first, plan.zT, (), plan.Mp,
-                                    anc=True)
+                                    anc=True, suI=plan.suI)
             A = A[:N] if pad else A
             break
         xfs = []
@@ -372,7 +478,7 @@ def repeat_with_plan_cols(plan, cols, want_anc=False):
             xfs.append(xf)
         outs = _repeat_pallas_n(plan.tch, plan.wblk, plan.plast,
                                 plan.first, plan.zT, tuple(xfs), plan.Mp,
-                                anc=anc_here)
+                                anc=anc_here, suI=plan.suI)
         if anc_here:
             A = outs[-1][:N] if pad else outs[-1]
             outs = outs[:-1]

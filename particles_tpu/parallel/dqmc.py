@@ -109,8 +109,8 @@ def _dist_hilbert_keys(X, axis, D):
     if X.shape[1] == 1:
         return (X[:, 0],)
     d_dim = X.shape[1]
-    nbits = max(1, min(62 // d_dim, 16))
     n = X.shape[0] * D
+    nbits = hilbert.sort_nbits(n, d_dim)  # reduced-width sort keys
     s1 = jax.lax.psum(jnp.sum(X, axis=0), axis)
     s2 = jax.lax.psum(jnp.sum(X * X, axis=0), axis)
     m = s1 / n
@@ -119,7 +119,10 @@ def _dist_hilbert_keys(X, axis, D):
     maxint = (1 << nbits) - 1
     xint = jnp.clip(jnp.floor(u * (1 << nbits)), 0, maxint).astype(
         jnp.uint32)
-    return hilbert.hilbert_index(xint, nbits)
+    hi, lo = hilbert.hilbert_index(xint, nbits)
+    if d_dim * nbits <= 32:
+        return (lo,)  # single-limb key (see hilbert.sort_nbits)
+    return (hi, lo)
 
 
 def dist_qmc_reorder(X, extras, axis, D):

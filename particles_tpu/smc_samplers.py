@@ -285,9 +285,20 @@ class ThetaParticles(Pytree):
         waste-free shape change) every leaf falls back to
         ``jnp.repeat``."""
         from particles_tpu import core
+        from particles_tpu.ops import repeat_kernel as rk
 
+        fields = self._particle_fields()
+        N = next(iter(self.theta.values())).shape[0]
+        if not (rk._on_tpu() and M == N and N >= rk._C):
+            # plan route unavailable (CPU, waste-free M != N): repeat
+            # directly by counts — skips the z cumsum that _repeat_z's
+            # fallback would immediately diff back into counts
+            served = jax.tree_util.tree_map(
+                lambda a: jnp.repeat(a, counts, axis=0,
+                                     total_repeat_length=M), fields)
+            return ThetaParticles(shared=dict(self.shared), **served)
         z = jnp.cumsum(counts.astype(jnp.int32))
-        served, _, _, _ = core._repeat_z(self._particle_fields(), z, M)
+        served, _, _, _ = core._repeat_z(fields, z, M)
         return ThetaParticles(shared=dict(self.shared), **served)
 
     def subset(self, A):

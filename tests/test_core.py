@@ -449,13 +449,78 @@ class TestCheckpointResume:
             pass
         assert pf2.hist.T == y.shape[0]  # includes pre-checkpoint frames
 
-    def test_rolling_history_checkpoint_rejected(self, lg_setup):
+    def test_rolling_history_checkpoint_roundtrip(self, lg_setup):
+        """Rolling history survives a checkpoint bitwise (round 4 closed
+        the last checkpoint hole)."""
+        import os
+        import tempfile
+
         ssm, y, _ = lg_setup
-        pf = particles.SMC(fk=ssms.Bootstrap(ssm=ssm, data=y), N=32,
-                           store_history=3)
-        next(pf)
-        with pytest.raises(NotImplementedError):
-            pf.save_state("/tmp/nope2.pkl")
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        ref = particles.SMC(fk=fk, N=64, store_history=3,
+                            key=jax.random.key(11))
+        for _ in ref:
+            pass
+        pf1 = particles.SMC(fk=fk, N=64, store_history=3,
+                            key=jax.random.key(11))
+        for _ in range(7):
+            next(pf1)
+        path = os.path.join(tempfile.mkdtemp(), "ckpt_r.pkl")
+        pf1.save_state(path)
+        pf2 = particles.SMC(fk=fk, N=64, store_history=3,
+                            key=jax.random.key(0))
+        pf2.load_state(path)
+        for _ in pf2:
+            pass
+        assert pf2.hist.T == ref.hist.T == 3
+        for a, b in zip(pf2.hist.X, ref.hist.X):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(pf2.hist.A, ref.hist.A):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert float(pf2.logLt) == float(ref.logLt)
+
+    def test_partial_history_checkpoint_roundtrip(self, lg_setup):
+        import os
+        import tempfile
+
+        ssm, y, _ = lg_setup
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        opt = lambda t: t % 4 == 0  # noqa: E731
+        ref = particles.SMC(fk=fk, N=64, store_history=opt,
+                            key=jax.random.key(12))
+        for _ in ref:
+            pass
+        pf1 = particles.SMC(fk=fk, N=64, store_history=opt,
+                            key=jax.random.key(12))
+        for _ in range(6):
+            next(pf1)
+        path = os.path.join(tempfile.mkdtemp(), "ckpt_p.pkl")
+        pf1.save_state(path)
+        pf2 = particles.SMC(fk=fk, N=64, store_history=opt,
+                            key=jax.random.key(0))
+        pf2.load_state(path)
+        for _ in pf2:
+            pass
+        assert sorted(pf2.hist.X) == sorted(ref.hist.X)
+        for t in ref.hist.X:
+            np.testing.assert_array_equal(np.asarray(pf2.hist.X[t]),
+                                          np.asarray(ref.hist.X[t]))
+
+    def test_windowed_checkpoint_into_bool_history_raises(self, lg_setup):
+        import os
+        import tempfile
+
+        ssm, y, _ = lg_setup
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        pf1 = particles.SMC(fk=fk, N=32, store_history=3,
+                            key=jax.random.key(1))
+        next(pf1)
+        next(pf1)
+        path = os.path.join(tempfile.mkdtemp(), "ckpt_m.pkl")
+        pf1.save_state(path)
+        pf2 = particles.SMC(fk=fk, N=32, store_history=False)
+        with pytest.raises(ValueError):
+            pf2.load_state(path)
 
 
 class TestMultiSMCHistoryOptions:

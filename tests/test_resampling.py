@@ -453,6 +453,12 @@ class TestRepeatKernels:
             assert served0 == []
             assert bool(jnp.all(A0 == A_ref))
             assert bool(jnp.all(rk.ancestors_by_z(zj, N) == A_ref))
+            # P=0 anc-only on the UNALIGNED (padded) plan: padded sources
+            # absorb padded output slots, A sliced back to No
+            _, Ao0 = rk.repeat_with_plan_cols(po, [], want_anc=True)
+            assert bool(jnp.all(
+                Ao0 == jnp.repeat(jnp.arange(No, dtype=jnp.int32), co,
+                                  total_repeat_length=No)))
         finally:
             rk.pl.pallas_call = orig
             rk._on_tpu = orig_on_tpu
@@ -521,6 +527,67 @@ class TestRepeatKernels:
             rk._on_tpu = orig_on_tpu
             rk._repeat_pallas_n.clear_cache()
 
+    @pytest.mark.parametrize(
+        "N,seed,ties,extreme",
+        [(2048, 0, 0.0, None), (2048, 1, 0.3, None), (4096, 3, 0.0, 0),
+         (4096, 4, 0.0, -1), (2559, 6, 0.0, None), (3071, 7, 0.2, None)])
+    def test_su_mode_fused_inverse_cdf(self, N, seed, ties, extreme):
+        """make_repeat_plan_su serves Y[j] = X[i], cs_{i-1} < su_j <= cs_i
+        directly from (sorted uniforms, cumulative weights) — bit-equal to
+        the searchsorted oracle including exact-value ties, degenerate
+        weights, padding (unaligned N), multi-payload fusion, the P=0
+        ancestor-only instantiation and the non-routable fallback
+        (interpret mode)."""
+        from jax.experimental import pallas as pl
+        import particles_tpu.ops.repeat_kernel as rk
+
+        orig = pl.pallas_call
+
+        def patched(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        rk.pl.pallas_call = patched
+        orig_on_tpu = rk._on_tpu
+        rk._on_tpu = lambda: True
+        try:
+            rng = np.random.default_rng(seed)
+            W = rng.dirichlet(np.ones(N) * 0.25)
+            if extreme is not None:
+                W = np.zeros(N)
+                W[extreme] = 1.0
+            cs = np.cumsum(W)
+            cs = np.maximum.accumulate((cs / cs[-1]).astype(np.float32))
+            cs[-1] = 1.0
+            su = rng.uniform(size=N)
+            if ties:
+                k = int(N * ties)
+                su[:k] = cs[rng.integers(0, N - 1, size=k)]
+            su = np.sort(np.clip(
+                su, 0.0, np.float32(1.0) - np.float32(2**-24))
+            ).astype(np.float32)
+            A_ref = np.searchsorted(cs, su, side="left").astype(np.int32)
+            x = rng.normal(size=N).astype(np.float32)
+            x2 = rng.normal(size=N).astype(np.float32)
+
+            plan = rk.make_repeat_plan_su(jnp.asarray(su), jnp.asarray(cs),
+                                          N)
+            assert plan is not None
+            (ya, yb), A = rk.repeat_with_plan_cols(
+                plan, [jnp.asarray(x), jnp.asarray(x2)], want_anc=True)
+            assert np.array_equal(np.asarray(A), A_ref)
+            assert np.array_equal(np.asarray(ya), x[A_ref])
+            assert np.array_equal(np.asarray(yb), x2[A_ref])
+            s0, A0 = rk.repeat_with_plan_cols(plan, [], want_anc=True)
+            assert s0 == [] and np.array_equal(np.asarray(A0), A_ref)
+            # non-routable (N, 5) leaf: searchsorted + take fallback
+            x5 = rng.normal(size=(N, 5)).astype(np.float32)
+            y5 = rk.repeat_with_plan(plan, jnp.asarray(x5))
+            assert np.array_equal(np.asarray(y5), x5[A_ref])
+        finally:
+            rk.pl.pallas_call = orig
+            rk._on_tpu = orig_on_tpu
+            rk._repeat_pallas_n.clear_cache()
 
 
 class TestFusedZKernel:

@@ -511,3 +511,60 @@ class TestTemperingEdgeCases:
         pf.run()
         ar = float(pf.X.shared["acc_rate"])
         assert 0.0 < ar <= 1.0, ar
+
+
+class TestSubsetByCountsKernelRoute:
+    """ADVICE r3: subset_by_counts' fused kernel route (taken on TPU when
+    the plan is available) has no direct CPU coverage — exercise it in
+    interpret mode: field splitting, (N, d<=2) columns through the f32
+    kernel, int32/(N,5) fields through the jnp.repeat fallback."""
+
+    def test_matches_jnp_repeat_per_field(self):
+        from jax.experimental import pallas as pl
+        import particles_tpu.ops.repeat_kernel as rk
+
+        orig = pl.pallas_call
+
+        def patched(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        rk.pl.pallas_call = patched
+        orig_on_tpu = rk._on_tpu
+        rk._on_tpu = lambda: True
+        try:
+            N = 2048
+            rng = np.random.default_rng(5)
+            theta = {
+                "mu": jnp.asarray(rng.normal(size=N), jnp.float32),
+                "cov2": jnp.asarray(rng.normal(size=(N, 2)), jnp.float32),
+                "wide": jnp.asarray(rng.normal(size=(N, 5)), jnp.float32),
+            }
+            tp = ssp.ThetaParticles(
+                theta=theta,
+                lpost=jnp.asarray(rng.normal(size=N), jnp.float32),
+                hits=jnp.asarray(rng.integers(0, 2**28, size=N),
+                                 jnp.int32),
+                shared={"tag": 7},
+            )
+            counts = jnp.asarray(
+                rng.multinomial(N, rng.dirichlet(np.ones(N) * 0.3)),
+                jnp.int32)
+            out = tp.subset_by_counts(counts, N)
+
+            def ref(a):
+                return jnp.repeat(a, counts, axis=0, total_repeat_length=N)
+
+            for k in theta:
+                assert bool(jnp.all(out.theta[k] == ref(theta[k]))), k
+                assert out.theta[k].dtype == theta[k].dtype, k
+            assert bool(jnp.all(out.lpost == ref(tp.lpost)))
+            # int32 user field: excluded from the f32 kernel round-trip
+            # (values >= 2^24 would round) — exact via the fallback
+            assert out.hits.dtype == jnp.int32
+            assert bool(jnp.all(out.hits == ref(tp.hits)))
+            assert out.shared == tp.shared
+        finally:
+            rk.pl.pallas_call = orig
+            rk._on_tpu = orig_on_tpu
+            rk._repeat_pallas_n.clear_cache()

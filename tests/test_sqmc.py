@@ -389,11 +389,34 @@ class TestHilbertSortExactness:
         x = np.repeat(centers, 16, axis=0) + 1e-7 * rng.normal(
             size=(4096, 4))
         xj = jnp.asarray(x, jnp.float32)
-        order = np.asarray(hilbert.hilbert_sort(xj))
-        assert sorted(order.tolist()) == list(range(4096))
+        # explicit full-width keys exercise the two-limb path (the
+        # round-4 default is the reduced single-limb sort_nbits width)
         nbits = max(1, min(62 // 4, 16))
+        order = np.asarray(hilbert.hilbert_sort(xj, nbits=nbits))
+        assert sorted(order.tolist()) == list(range(4096))
         xint = hilbert._standardise_and_integerise(xj, nbits)
         hi, lo = (np.asarray(a).astype(np.uint64)
                   for a in hilbert.hilbert_index(xint, nbits))
         keys = (hi[order] << np.uint64(32)) | lo[order]
         assert (np.diff(keys.astype(object)) >= 0).all()
+
+    def test_default_reduced_width_is_consistent(self):
+        """The round-4 default sort width (hilbert.sort_nbits: ~log2(N)+4
+        total bits, single uint32 limb) orders by exactly those keys, and
+        hilbert_sort_with agrees with hilbert_sort + gather."""
+        from particles_tpu import hilbert
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(size=(4096, 3)), jnp.float32)
+        nbits = hilbert.sort_nbits(4096, 3)
+        assert 3 * nbits <= 32
+        order = np.asarray(hilbert.hilbert_sort(x))
+        xint = hilbert._standardise_and_integerise(x, nbits)
+        _, lo = hilbert.hilbert_index(xint, nbits)
+        lo = np.asarray(lo)
+        assert (np.diff(lo[order].astype(np.int64)) >= 0).all()
+        p = jnp.asarray(rng.normal(size=4096), jnp.float32)
+        (p_sorted,) = hilbert.hilbert_sort_with(x, (p,))
+        # ties within a cell: both paths are stable sorts on equal keys
+        np.testing.assert_array_equal(np.asarray(p_sorted),
+                                      np.asarray(p)[order])
