@@ -1,0 +1,182 @@
+"""Communication lower-bound tripwire (VERDICT r3 task 4; SURVEY.md §2b).
+
+The shard_map engine's design property — per step, the only cross-chip
+traffic is scalar all-reduces; at resample steps a D-hop ring of
+N/D-sized ppermutes plus ONE (D,)-scalar all-gather — is claimed in
+``parallel/distributed.py`` docstrings.  These tests inspect the lowered
+StableHLO of the full sharded program and pin the collective census, so a
+regression (an accidental particle-sized all-gather under a new collector
+or serve path) fails loudly instead of landing silently.
+
+The GSPMD engine (``parallel/sharded.py``) has a different, documented
+budget: the resample branch gathers particles (``X[A]`` under GSPMD), so
+its census is pinned rather than bounded — any NEW collective trips the
+count.
+"""
+
+import re
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+import particles_tpu.core as core
+import particles_tpu.kalman as kalman
+import particles_tpu.state_space_models as ssms
+from particles_tpu import distctx
+from particles_tpu.parallel import distributed as dist
+from particles_tpu.parallel import sharded
+
+D, N, T = 8, 256, 4
+
+
+@pytest.fixture(scope="module")
+def fk_mesh():
+    if len(jax.devices()) < D:
+        pytest.skip("needs 8 (virtual) devices")
+    ssm = kalman.LinearGauss(rho=0.9, sigmaX=1.0, sigmaY=0.2)
+    _, y = ssm.simulate(jax.random.key(0), T)
+    fk = ssms.Bootstrap(ssm=ssm, data=y)
+    return fk, sharded.make_mesh(D, ("particles",))
+
+
+def _shardmap_stablehlo(fk, mesh, essrmin=0.5, apf_fk=None):
+    Nloc = N // D
+    the_fk = apf_fk if apf_fk is not None else fk
+
+    def local_run(fk, key):
+        with distctx.dist_context("particles", D):
+            return core._run_full(fk, key, Nloc, T, False, "systematic",
+                                  essrmin, None, False, None)
+
+    carry_spec = core._Carry(key=P(), X=P("particles"), lw=P("particles"),
+                             logLt=P(), log_mean_w=P(), col_states=P())
+    f = dist._shard_map(local_run, mesh, in_specs=(P(), P()),
+                        out_specs=(carry_spec, P(), P()))
+    with mesh:
+        return jax.jit(f).lower(the_fk, jax.random.key(1)).as_text()
+
+
+def _stablehlo_census(txt):
+    """Collective -> list of (operand_elems, result_elems)."""
+
+    def elems(t):
+        # t like "8xf32" / "1x8xi64" / "f32": product of leading dims
+        parts = t.split("x")
+        if len(parts) == 1:
+            return 1
+        return int(np.prod([int(p) for p in parts[:-1]]))
+
+    out = {}
+    # all_reduce carries a reducer REGION: its type signature is on the
+    # closing line  "}) : (tensor<...>) -> tensor<...>"
+    pat = (r'"stablehlo\.all_reduce".*?\}\) : \(tensor<([^>]*)>\)'
+           r' -> tensor<([^>]*)>')
+    out["all_reduce"] = [(elems(a), elems(b))
+                         for a, b in re.findall(pat, txt, re.S)]
+    # all_gather / all_to_all / collective_permute are single-line ops
+    for kind in ("all_gather", "all_to_all", "collective_permute"):
+        pat = (r'"stablehlo\.%s".*? : '
+               r'\(tensor<([^>]*)>\) -> tensor<([^>]*)>' % kind)
+        out[kind] = [(elems(a), elems(b))
+                     for a, b in re.findall(pat, txt)]
+    return out
+
+
+class TestShardMapBudget:
+    """Strict census for the hand-placed-collectives engine."""
+
+    def test_bootstrap_census(self, fk_mesh):
+        fk, mesh = fk_mesh
+        c = _stablehlo_census(_shardmap_stablehlo(fk, mesh))
+        Nloc = N // D
+        # no all-to-all, ever
+        assert c["all_to_all"] == []
+        # exactly ONE all-gather: the (D,) shard-sum table of the ring
+        assert len(c["all_gather"]) == 1, c["all_gather"]
+        assert c["all_gather"][0] == (1, D), c["all_gather"]
+        # every all-reduce is a SCALAR (the log-normaliser / ESS / logLt
+        # reductions); pinned count: 3 in step0 + 3 in the scan body + 2
+        # in the APF-free logLt accounting paths = 8 for this program
+        assert all(a == 1 and b == 1 for a, b in c["all_reduce"]), \
+            c["all_reduce"]
+        assert len(c["all_reduce"]) == 8, len(c["all_reduce"])
+        # ring traffic: N/D-sized collective_permutes only — 2 per hop
+        # (z block + one state leaf), last hop's dead permutes DCE'd
+        assert all(a == Nloc and b == Nloc
+                   for a, b in c["collective_permute"]), \
+            c["collective_permute"]
+        assert len(c["collective_permute"]) == 2 * (D - 1), \
+            len(c["collective_permute"])
+
+    def test_apf_census_adds_no_collectives(self, fk_mesh):
+        """APF under sharding: the aux-weight machinery adds exactly four
+        scalar reductions (log_mean_exp(logeta, lw=lw) is two dist-aware
+        logsumexps, each pmax + psum) and NO new particle-sized traffic —
+        the round-4 recompute-instead-of-ring keeps the eta column off
+        the wire."""
+        fk, mesh = fk_mesh
+        ssm = ssms.StochVol()
+        _, y = ssm.simulate(jax.random.key(3), T)
+        fka = ssms.AuxiliaryBootstrap(ssm=ssm, data=y)
+        c = _stablehlo_census(_shardmap_stablehlo(fk, mesh, apf_fk=fka))
+        Nloc = N // D
+        assert c["all_to_all"] == []
+        assert len(c["all_gather"]) == 1
+        assert c["all_gather"][0] == (1, D)
+        assert all(a == 1 and b == 1 for a, b in c["all_reduce"]), \
+            c["all_reduce"]
+        assert len(c["all_reduce"]) == 12, len(c["all_reduce"])
+        assert all(a == Nloc and b == Nloc
+                   for a, b in c["collective_permute"])
+        assert len(c["collective_permute"]) == 2 * (D - 1)
+
+
+class TestGspmdBudget:
+    """Pinned census for the GSPMD engine: the resample branch gathers
+    particles by design (X[A] under GSPMD — parallel/sharded.py
+    docstring), so the tripwire is the exact op census, not a size
+    bound."""
+
+    def test_census_pinned(self, fk_mesh):
+        fk, mesh = fk_mesh
+        constrain = sharded.particle_constrain(mesh, "particles")
+        from particles_tpu.ops import no_pallas
+
+        @jax.jit
+        def run(fk, key):
+            return core._run_full(fk, key, N, T, False, "systematic",
+                                  0.5, None, False, constrain)
+
+        with mesh, no_pallas():
+            txt = run.lower(fk, jax.random.key(1)).compile().as_text()
+        census = {}
+        for kind in ("all-gather", "all-reduce", "collective-permute",
+                     "all-to-all"):
+            types = re.findall(r"= (\S+) %s\(" % kind, txt)
+            census[kind] = sorted(types)
+        assert census["all-to-all"] == []
+        # particle-sized gathers appear ONLY as the resample-branch
+        # gather machinery: at most N-sized, and the number of
+        # >=N-element gathers is pinned (two f32 particle gathers + two
+        # s32 ancestor/z gathers in the cond branches)
+        def n_elems(t):
+            m = re.search(r"\[(\d+)", t)
+            return int(m.group(1)) if m else 1
+
+        big_gathers = [t for t in census["all-gather"]
+                       if n_elems(t) >= N]
+        assert len(big_gathers) == 4, census["all-gather"]
+        assert all(n_elems(t) <= N for t in census["all-gather"]), \
+            census["all-gather"]
+        assert all(n_elems(t) <= N for t in census["all-reduce"]), \
+            census["all-reduce"]
+        # total census pinned: a NEW collective (stray gather in a
+        # collector / serve path) trips this even if small
+        assert len(census["all-gather"]) == 9, census["all-gather"]
+        assert len(census["all-reduce"]) == 10, census["all-reduce"]
+        assert len(census["collective-permute"]) == 20, \
+            census["collective-permute"]
