@@ -22,14 +22,21 @@ import jax.numpy as jnp
 
 from particles_tpu import resampling as rs
 
-SCHEMES = ("multinomial", "residual", "stratified", "systematic", "ssp")
+SCHEMES = ("multinomial", "residual", "stratified", "systematic", "ssp",
+           "ssp-tree")
 
 
 def tv_of_scheme(scheme, W, keys):
     N = W.shape[0]
 
     def one(key):
-        counts = rs.resampling_counts(scheme, key, W, M=N)
+        if scheme == "ssp-tree":
+            # the hierarchical pairing ssp_counts routes to at N >= 8192
+            # (a different valid SSP — forced here at small N so the TV
+            # harness validates it against the sequential pairing)
+            counts = rs._ssp_counts_blocked(key, W, N)
+        else:
+            counts = rs.resampling_counts(scheme, key, W, M=N)
         return 0.5 * jnp.sum(jnp.abs(counts / N - W))
 
     return np.asarray(jax.vmap(one)(keys))
@@ -51,8 +58,15 @@ def main(small=False):
         print(f"tau={tau}: " + "  ".join(
             f"{s}={tvs[(s, tau)]:.4f}" for s in order))
         # negative-association schemes dominate multinomial
-        for s in ("systematic", "stratified", "residual", "ssp"):
+        for s in ("systematic", "stratified", "residual", "ssp",
+                  "ssp-tree"):
             assert tvs[(s, tau)] < tvs[("multinomial", tau)], (s, tau, tvs)
+        # the tree pairing is the same algorithm class as sequential SSP:
+        # identical marginals (floor/ceil Bernoulli), so the mean TV must
+        # agree closely
+        rel = abs(tvs[("ssp-tree", tau)] - tvs[("ssp", tau)]) / tvs[
+            ("ssp", tau)]
+        assert rel < 0.15, (rel, tvs[("ssp-tree", tau)], tvs[("ssp", tau)])
     return tvs
 
 

@@ -715,11 +715,25 @@ def ssp_counts(key, W, M):
     XLA-CPU compile.  Same uniform stream (the draw below); the host
     kernel scans in float64, so a realisation may differ from the jitted
     float32 scan at rare rounding ties (identical distribution).
+
+    At N >= 8192 (``_SSP_BLOCKED_MIN``) the jitted path routes to the
+    HIERARCHICAL tree pairing (:func:`_ssp_counts_blocked`): the
+    sequential pairing is an (N-1)-step recursion — impractical on TPU
+    beyond ~1e4 steps (sequential-dispatch floor; the reference's numba
+    loop has no such constraint) and minutes of XLA-CPU compile at 1e6 —
+    while the tree pairing is O(K log N) steps of dense (B, K) vector
+    work and is ITSELF a valid SSP (any adapted pairing order preserves
+    unbiasedness and the floor/ceil support; only the joint law differs
+    from the sequential order).  Measured at N=2^20 on v5e (jitted scan
+    chain, overhead-subtracted): ~0.8 ms/call at K=32 — comparable to
+    the systematic z-path; a standalone round-trip call reads ~25 ms of
+    tunnel latency, not device time.
     """
     N = W.shape[0]
     if (jax.default_backend() == "cpu"
             and not isinstance(W, jax.core.Tracer)
-            and not isinstance(key, jax.core.Tracer)):
+            and not isinstance(key, jax.core.Tracer)
+            and N < _SSP_BLOCKED_MIN):
         from particles_tpu import native
 
         if native.AVAILABLE:
@@ -728,6 +742,8 @@ def ssp_counts(key, W, M):
             u_host = _np.asarray(jax.random.uniform(key, (N - 1,)))
             return jnp.asarray(
                 native.ssp_counts(_np.asarray(W), int(M), u_host))
+    if N >= _SSP_BLOCKED_MIN:
+        return _ssp_counts_blocked(key, W, M)
     MW = M * W
     nr0 = jnp.floor(MW)
     xi0 = MW - nr0
@@ -759,6 +775,114 @@ def ssp_counts(key, W, M):
     # index so the counts sum to M (the deterministic analog of ssp()'s
     # final-xi rounding)
     nr = nr.at[last_ij].add(M - jnp.sum(nr))
+    return nr.astype(jnp.int32)
+
+
+# N above which ssp_counts switches to the hierarchical tree pairing
+# (_ssp_counts_blocked): the sequential pairing is an (N-1)-step lax.scan
+# — impractical on TPU beyond ~1e4 (sequential dispatch floor) and
+# minutes of XLA-CPU compile at 1e6
+_SSP_BLOCKED_MIN = 8192
+_SSP_K = 32  # block width of the tree pairing
+
+
+def _ssp_counts_blocked(key, W, M, K=_SSP_K):
+    """SSP offspring counts by HIERARCHICAL (tree) pairing — the
+    TPU-scale formulation (SURVEY.md §2a item 2; reference numba loop
+    ``resampling.py:630-677``).
+
+    SSP's guarantees — unbiasedness ``E[counts_i] = M W_i``, support
+    ``counts_i ∈ {floor(M W_i), ceil(M W_i)}`` and ``sum = M`` exactly —
+    hold for ANY adapted pairing order (Gerber, Chopin & Whiteley 2019:
+    each pairwise step is a martingale update of the fractional parts),
+    so the pairing is a degree of freedom.  The reference pairs
+    sequentially (an inherently serial N-step recursion); here the N
+    fractional parts are paired within K-wide blocks — a (K-1)-step
+    ``lax.scan`` whose body is dense (B, K) one-hot arithmetic, i.e.
+    B = N/K independent SSP chains advanced in lockstep on the VPU — and
+    each block's single surviving fractional value is promoted to the
+    next level, giving ceil(log_K N) levels and O(K log_K N) sequential
+    steps total (124 at N=2^20, K=32) instead of N-1 (~1e6).
+
+    The joint law differs from the sequential pairing (a different valid
+    SSP), which is why this is a separate function with an explicit
+    routing threshold rather than a silent replacement at all N.
+    """
+    N = W.shape[0]
+    MW = M * W
+    nr = jnp.floor(MW)                      # global count accumulator
+    phi = MW - nr                           # fractional parts, in [0, 1)
+    idx = jnp.arange(N, dtype=jnp.int32)    # original index of each phi
+    sub_iota = jnp.arange(K, dtype=jnp.int32)[:, None]  # (K, 1)
+
+    def body(carry, ku):
+        # the sequential ssp_counts body, vectorised over B blocks with
+        # one-hot reads/writes — dense (K, B) VPU work, no scatters.  The
+        # SHORT block axis K sits on sublanes and the LONG block-count
+        # axis B on lanes ((B, K) would waste 7/8 of every (8, 128)
+        # vector tile); strided blocks (reshape(K, B)) avoid a transpose
+        i, j, x, nrl = carry                 # i, j (B,); x, nrl (K, B)
+        k, uk = ku
+        oh_i = sub_iota == i[None, :]
+        oh_j = sub_iota == j[None, :]
+        a = jnp.sum(jnp.where(oh_i, x, 0.0), axis=0)
+        b = jnp.sum(jnp.where(oh_j, x, 0.0), axis=0)
+        delta_i = jnp.minimum(b, 1.0 - a)
+        delta_j = jnp.minimum(a, 1.0 - b)
+        sum_delta = delta_i + delta_j
+        pj = jnp.where(sum_delta > 0.0, delta_i / sum_delta, 0.0)
+        swap = uk < pj
+        i, j = jnp.where(swap, j, i), jnp.where(swap, i, j)
+        oh_i = sub_iota == i[None, :]
+        oh_j = sub_iota == j[None, :]
+        a, b = jnp.where(swap, b, a), jnp.where(swap, a, b)
+        delta = jnp.minimum(b, 1.0 - a)
+        grow = b < 1.0 - a
+        x = x + jnp.where(grow[None, :] & oh_i, delta[None, :], 0.0)
+        x = x - jnp.where((~grow[None, :]) & oh_j, delta[None, :], 0.0)
+        nrl = nrl + jnp.where((~grow[None, :]) & oh_i, 1.0, 0.0)
+        nxt = jnp.int32(k + 2)
+        i = jnp.where(grow, i, nxt)
+        j = jnp.where(grow, nxt, j)
+        return (i, j, x, nrl), None
+
+    n = N
+    first_level = True
+    while n > 1:
+        npad = -(-n // K) * K
+        key, sub = jax.random.split(key)
+        if npad > n:
+            # zero fractional parts retire at 0 without a count and
+            # without biasing anything; their idx slot receives 0.0
+            phi = jnp.concatenate([phi, jnp.zeros(npad - n, phi.dtype)])
+            idx = jnp.concatenate([idx, jnp.zeros(npad - n, jnp.int32)])
+        B = npad // K
+        # reshape(K, B): block b is the STRIDED set {b, B+b, 2B+b, ...} —
+        # any disjoint partition is a valid pairing structure, and this
+        # one needs no transpose to put B on the lane axis
+        x = phi.reshape(K, B)
+        nrl = jnp.zeros((K, B), nr.dtype)
+        u = jax.random.uniform(sub, (K - 1, B))
+        ks = jnp.arange(K - 1, dtype=jnp.int32)
+        (i, j, x, nrl), _ = jax.lax.scan(
+            body,
+            (jnp.zeros(B, jnp.int32), jnp.ones(B, jnp.int32), x, nrl),
+            (ks, u))
+        s = jnp.where(j >= K, i, j)          # (B,) block survivors
+        oh_s = sub_iota == s[None, :]
+        phi = jnp.sum(jnp.where(oh_s, x, 0.0), axis=0)
+        idx_blocks = idx.reshape(K, B)
+        idx = jnp.sum(jnp.where(oh_s, idx_blocks, 0), axis=0)
+        if first_level:
+            nr = nr + nrl.reshape(-1)[:N]    # flat order == input order
+            first_level = False
+        else:
+            nr = nr.at[idx_blocks.reshape(-1)].add(nrl.reshape(-1))
+        n = B
+    # final survivor: exact arithmetic forces its value to {0, 1}; land
+    # the float residual deterministically so the counts sum to M (counts
+    # and M are integers < 2^24, so the f32 sum below is exact)
+    nr = nr.at[idx[0]].add(M - jnp.sum(nr))
     return nr.astype(jnp.int32)
 
 

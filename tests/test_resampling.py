@@ -786,3 +786,66 @@ class TestCountsAncestorEquivalence:
 
         assert not rk._leaf_routable(jnp.zeros(16, jnp.int32), 16)
         assert rk._leaf_routable(jnp.zeros(16, jnp.int16), 16)
+
+
+class TestBlockedSSP:
+    """Round 4: ssp_counts routes to the hierarchical (tree) pairing at
+    N >= _SSP_BLOCKED_MIN — a different valid SSP (any adapted pairing
+    preserves unbiasedness, the floor/ceil support and the exact sum),
+    O(K log N) sequential steps instead of N-1."""
+
+    def test_sum_support_unbiasedness(self):
+        N = 10_000  # above the routing threshold
+        rng = np.random.default_rng(0)
+        W = jnp.asarray(rng.dirichlet(np.ones(N) * 0.3), jnp.float32)
+        MW = np.asarray(N * W, np.float64)
+        f = jax.jit(lambda k: rs.resampling_counts("ssp", k, W, M=N))
+        tot = np.zeros(N)
+        R = 40
+        for s in range(R):
+            c = np.asarray(f(jax.random.key(s)))
+            assert c.sum() == N
+            assert ((c >= np.floor(MW) - 1e-6)
+                    & (c <= np.ceil(MW) + 1e-6)).all()
+            tot += c
+        p = MW - np.floor(MW)
+        sd = np.sqrt(np.maximum(p * (1 - p), 1e-12) / R)
+        z = (tot / R - MW) / sd
+        # per-coordinate marginal is Bernoulli(p): mean z^2 ~ 1
+        assert (z ** 2).mean() < 1.6, (z ** 2).mean()
+
+    def test_tree_tv_matches_sequential(self):
+        """Mean TV(W, counts/N) of the tree pairing equals the sequential
+        pairing's (identical marginals) on peaked weights at small N."""
+        N, R = 1024, 40
+        rng = np.random.default_rng(1)
+        lw = 3.0 * rng.standard_normal(N)
+        W = jnp.asarray(np.exp(lw - lw.max()) / np.exp(lw - lw.max()).sum(),
+                        jnp.float32)
+        keys = jax.random.split(jax.random.key(5), R)
+
+        def tv(counts_fn):
+            def one(key):
+                c = counts_fn(key)
+                return 0.5 * jnp.sum(jnp.abs(c / N - W))
+            return float(jax.vmap(one)(keys).mean())
+
+        tv_seq = tv(lambda k: rs.resampling_counts("ssp", k, W, M=N))
+        tv_tree = tv(lambda k: rs._ssp_counts_blocked(k, W, N))
+        assert abs(tv_tree - tv_seq) / tv_seq < 0.15, (tv_tree, tv_seq)
+
+    def test_unaligned_and_degenerate(self):
+        # N not a multiple of the block width at every level
+        for N in (8192 + 37, 9999):
+            rng = np.random.default_rng(N)
+            W = jnp.asarray(rng.dirichlet(np.ones(N)), jnp.float32)
+            c = np.asarray(rs.resampling_counts(
+                "ssp", jax.random.key(0), W, M=N))
+            assert c.sum() == N, (N, c.sum())
+            assert (c >= 0).all()
+        # one-hot weights: all mass on one index
+        N = 8192
+        W = jnp.zeros(N, jnp.float32).at[1234].set(1.0)
+        c = np.asarray(rs.resampling_counts("ssp", jax.random.key(2), W,
+                                            M=N))
+        assert c[1234] == N and c.sum() == N
