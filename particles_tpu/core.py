@@ -408,11 +408,13 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
     dctx = distctx.current()
     key, k_rs, k_m, k_col = jax.random.split(carry.key, 4)
     if dctx is not None:
-        if resampling_scheme != "systematic":
+        if resampling_scheme not in ("systematic", "stratified",
+                                     "multinomial"):
             raise NotImplementedError(
                 f"resampling scheme {resampling_scheme!r} is not supported "
-                "under particle sharding (the ring redistribution uses "
-                "systematic resampling's analytic z-form)")
+                "under particle sharding (rings exist for systematic/"
+                "stratified z-forms and the multinomial sorted-uniform "
+                "merge; ssp/residual/killing have no distributed form)")
         shard = jax.lax.axis_index(dctx.axis)
         k_m = jax.random.fold_in(k_m, shard)
         k_col = jax.random.fold_in(k_col, shard)
@@ -446,15 +448,21 @@ def _step(fk, carry, t, N, resampling_scheme, ESSrmin, summaries,
         """
         from particles_tpu.parallel import distributed as dist
 
-        u = jax.random.uniform(k_rs, ())
         payload = {"x": X}
+        if resampling_scheme == "systematic":
+            u = jax.random.uniform(k_rs, ())
+            ring = lambda *a, **kw: dist.ring_systematic_resample(  # noqa: E731
+                payload, aux.lw, u, Ng, dctx.axis, dctx.D, **kw)
+        elif resampling_scheme == "stratified":
+            ring = lambda *a, **kw: dist.ring_stratified_resample(  # noqa: E731
+                payload, aux.lw, k_rs, Ng, dctx.axis, dctx.D, **kw)
+        else:  # multinomial (checked at trace time above)
+            ring = lambda *a, **kw: dist.ring_multinomial_resample(  # noqa: E731
+                payload, aux.lw, k_rs, Ng, dctx.axis, dctx.D, **kw)
         if need_gen:
-            served, A = dist.ring_systematic_resample(
-                payload, aux.lw, u, Ng, dctx.axis, dctx.D,
-                return_ancestors=True)
+            served, A = ring(return_ancestors=True)
         else:
-            served = dist.ring_systematic_resample(
-                payload, aux.lw, u, Ng, dctx.axis, dctx.D)
+            served = ring()
             A = shard * N + jnp.arange(N, dtype=jnp.int32)
         Xp = served["x"]
         if fk.isAPF:

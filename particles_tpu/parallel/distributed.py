@@ -30,8 +30,12 @@ Since round 3 there is ONE engine: :func:`run_shardmap_smc` executes
 ``core._run_full`` itself inside shard_map under a
 :mod:`particles_tpu.distctx` context, so bootstrap / guided / APF models,
 adaptive resampling, collectors and history all behave exactly as on a
-single device (APF auxiliary weights follow reference core.py:307-313 with
-the logeta payload riding the ring).  SQMC and genealogy-crossing
+single device (APF auxiliary weights follow reference core.py:307-313,
+with logeta recomputed on the served particles — float-exact and cheaper
+than ringing the column).  Round 4 adds stratified and multinomial rings
+(:func:`ring_stratified_resample` — counter-based shared uniforms — and
+:func:`ring_multinomial_resample` — order-statistics-decomposed shared
+sorted uniforms over the SQMC merge ring).  Genealogy-crossing
 collectors are explicitly rejected rather than silently approximated.
 
 The reference has no counterpart (its parallelism is a communication-free
@@ -47,7 +51,8 @@ from jax.sharding import PartitionSpec as P
 
 from particles_tpu import distctx
 
-__all__ = ["ring_systematic_resample", "run_shardmap_smc"]
+__all__ = ["ring_systematic_resample", "ring_stratified_resample",
+           "ring_multinomial_resample", "run_shardmap_smc"]
 
 
 def _shard_map(f, mesh, in_specs, out_specs):
@@ -130,6 +135,128 @@ def ring_systematic_resample(x_loc, lw_loc, u, M, axis, D,
         served_of=lambda e: (j >= zb_ext[e]) & (j < zb_ext[e + 1]),
         rep_of=lambda z_blk: _serve_fn(z_blk, d, Nloc),
         axis=axis, D=D, return_ancestors=return_ancestors)
+
+
+def _counter_uniforms(key, k):
+    """Shared counter-based uniforms ``u_k = U(fold_in(key, k))`` —
+    identical on every shard for the same global index ``k`` (the key is
+    replicated), with no (M,) materialisation and no communication.
+    This is what makes stratified resampling ring-able: the per-output
+    iid uniforms of the z-form become a pure function of the output
+    index."""
+    return jax.vmap(
+        lambda kk: jax.random.uniform(jax.random.fold_in(key, kk)))(k)
+
+
+def ring_stratified_resample(x_loc, lw_loc, key, M, axis, D,
+                             return_ancestors=False):
+    """Stratified resampling of globally-M particles sharded over
+    ``axis`` — the same D-hop ring as :func:`ring_systematic_resample`
+    with the stratified z-form (reference ``resampling.py:599-604``;
+    single-device counterpart ``resampling.stratified_z``):
+
+        z_i = k_i + 1[u_{k_i} <= frac_i],   k_i = floor(M * cs_i),
+
+    where the per-output uniforms ``u_k`` are COUNTER-BASED (see
+    :func:`_counter_uniforms`) so every shard evaluates the same u at the
+    same global output index without materialising an (M,) vector or
+    communicating.  Boundary tables, the monotonising max-scan and the
+    clamp-after-scan exactness argument are identical to the systematic
+    ring.  ``key`` must be the REPLICATED resampling key.
+    """
+    Nloc = lw_loc.shape[0]
+    d = jax.lax.axis_index(axis)
+    m = jax.lax.pmax(jnp.max(lw_loc), axis)
+    w = jnp.exp(lw_loc - m)
+    cum_loc = jnp.cumsum(w)
+    all_s = jax.lax.all_gather(cum_loc[-1], axis)
+    S = jnp.sum(all_s)
+    prefix = jnp.cumsum(all_s) - all_s
+    # shared boundary table at the shard-prefix cumulative weights
+    gb = M * prefix / S
+    kb = jnp.floor(gb).astype(jnp.int32)
+    ub = _counter_uniforms(key, jnp.clip(kb, 0, M - 1))
+    zb = jnp.clip(kb + (ub <= gb - kb).astype(jnp.int32), 0, M)
+    zb = zb.at[0].set(0)
+    zb_ext = jnp.concatenate([zb, jnp.full((1,), M, jnp.int32)])
+    # local global-z, monotonised then clamped to the shared boundary
+    # (see ring_systematic_resample for the exact-tiling argument)
+    g = M * (prefix[d] + cum_loc) / S
+    kk = jnp.floor(g).astype(jnp.int32)
+    uk = _counter_uniforms(key, jnp.clip(kk, 0, M - 1))
+    z_loc = jnp.where(kk >= M, M,
+                      kk + (uk <= g - kk).astype(jnp.int32))
+    z_loc = jnp.clip(z_loc, 0, M)
+    z_loc = jnp.minimum(jax.lax.associative_scan(jnp.maximum, z_loc),
+                        zb_ext[d + 1])
+    z_loc = z_loc.at[-1].set(zb_ext[d + 1])
+
+    j = d * Nloc + jnp.arange(Nloc, dtype=jnp.int32)
+    return ring_serve(
+        x_loc, z_loc, Nloc,
+        served_of=lambda e: (j >= zb_ext[e]) & (j < zb_ext[e + 1]),
+        rep_of=lambda z_blk: _serve_fn(z_blk, d, Nloc),
+        axis=axis, D=D, return_ancestors=return_ancestors)
+
+
+def ring_multinomial_resample(x_loc, lw_loc, key, M, axis, D,
+                              return_ancestors=False):
+    """Multinomial (sorted-ancestor) resampling of globally-M particles
+    sharded over ``axis``.
+
+    The single-device z-form merges M globally SORTED uniforms against
+    the cumulative weights (``resampling.multinomial_z``).  Sharded, the
+    sorted-uniform set is generated with ZERO communication by the
+    order-statistics decomposition:
+
+    * every shard computes the same (D-1,) boundary order statistics
+      ``V_e = U_(e*Nloc)`` from the replicated key — a sequential Beta
+      chain, ``(V_{e+1} - V_e) / (1 - V_e) ~ Beta(Nloc,
+      M - (e+1) Nloc + 1)``;
+    * shard d fills in its block: conditional on the boundaries, the
+      interior order statistics are ``lo + (hi - lo) * (sorted uniforms
+      of the block size)`` (shard-folded key, O(Nloc) spacings
+      construction), the block's last point being the boundary itself —
+      the top shard scales a full block into ``(V_{D-1}, 1)``.
+
+    The serve then rides the same merge-rank ppermute ring as
+    distributed SQMC (:func:`particles_tpu.parallel.dqmc.
+    ring_merge_resample` — sorted su against global cumulative weights).
+    """
+    from particles_tpu import resampling as rs
+    from particles_tpu.parallel import dqmc
+
+    Nloc = lw_loc.shape[0]
+    d = jax.lax.axis_index(axis)
+    # (D+1,) boundary table V_0=0, V_1..V_{D-1} order stats, V_D=1
+    # (replicated key -> identical on every shard)
+    kb = jax.random.split(jax.random.fold_in(key, 0x626f756e), D)
+    v = jnp.float32(0.0)
+    Vs = [v]
+    for e in range(D - 1):
+        b = jax.random.beta(kb[e], Nloc, M - (e + 1) * Nloc + 1)
+        v = v + (1.0 - v) * b.astype(jnp.float32)
+        Vs.append(v)
+    Vs.append(jnp.float32(1.0))
+    V = jnp.stack(Vs)
+    lo = jnp.take(V, d)
+    hi = jnp.take(V, d + 1)
+    k_loc = jax.random.fold_in(key, d)
+    # interior blocks: Nloc-1 interiors + the boundary as the last point;
+    # top shard: a full Nloc block scaled into (V_{D-1}, 1)
+    inner = rs.uniform_spacings(jax.random.fold_in(k_loc, 1), Nloc - 1)
+    su_mid = jnp.concatenate(
+        [lo + (hi - lo) * inner, hi[None].astype(inner.dtype)])
+    su_top = lo + (1.0 - lo) * rs.uniform_spacings(
+        jax.random.fold_in(k_loc, 2), Nloc)
+    su = jnp.where(d == D - 1, su_top, su_mid)
+
+    # globally-normalised local weights for the merge ring
+    m = jax.lax.pmax(jnp.max(lw_loc), axis)
+    w = jnp.exp(lw_loc - m)
+    S = jax.lax.psum(jnp.sum(w), axis)
+    return dqmc.ring_merge_resample(
+        x_loc, su, w / S, axis, D, return_ancestors=return_ancestors)
 
 
 def ring_serve(x_loc, blk0, Nloc, served_of, rep_of, axis, D,
@@ -228,11 +355,13 @@ def run_shardmap_smc(fk, N, key=None, mesh=None, axis="particles",
             "run_shardmap_smc: SQMC under particle sharding requires N a "
             f"power of two (got {N}): the sharded sorted-Sobol generation "
             "is closed-form only at 2^m")
-    if not qmc and resampling != "systematic":
+    if not qmc and resampling not in ("systematic", "stratified",
+                                      "multinomial"):
         raise NotImplementedError(
             f"run_shardmap_smc: resampling scheme {resampling!r} is not "
-            "supported under particle sharding (the ring redistribution "
-            "uses systematic resampling's analytic z-form)")
+            "supported under particle sharding (rings exist for "
+            "systematic/stratified z-forms and the multinomial "
+            "sorted-uniform merge)")
 
     key = key if key is not None else jax.random.key(0)
     D = int(mesh.shape[axis])

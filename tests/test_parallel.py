@@ -255,7 +255,7 @@ class TestUnifiedShardmapEngine:
             parallel.run_shardmap_smc(fk, N=768, mesh=mesh, qmc=True)
         with pytest.raises(NotImplementedError, match="resampling"):
             parallel.run_shardmap_smc(fk, N=512, mesh=mesh,
-                                      resampling="multinomial")
+                                      resampling="ssp")
         with pytest.raises(NotImplementedError, match="collector"):
             parallel.run_shardmap_smc(
                 fk, N=512, mesh=mesh,
@@ -432,3 +432,111 @@ class TestShardedHistoryObjects:
         assert isinstance(res.hist, smoothing.RollingParticleHistory)
         assert res.hist.T == 3
         assert raw is None
+
+
+class TestRingSchemes:
+    """Round 4: stratified and multinomial rings (VERDICT r3 task 8).
+
+    Stratified's per-output uniforms become counter-based (a pure
+    function of the global output index, identical on every shard);
+    multinomial's shared sorted-uniform set is generated with zero
+    communication by the order-statistics decomposition (replicated Beta
+    chain for the (D-1) boundary order stats + shard-local scaled
+    spacings) and served by the SQMC merge ring.
+    """
+
+    def _mesh(self):
+        return parallel.make_mesh(8, ("particles",))
+
+    def test_stratified_ring_matches_counter_oracle(self):
+        """The ring's served output equals a single-device serve by the
+        SAME z formula (counter-based uniforms, global cumsum)."""
+        from jax.sharding import PartitionSpec as P
+        from particles_tpu.parallel import distributed as dist
+        from particles_tpu.ops import repeat_by_z
+
+        mesh = self._mesh()
+        N, D = 4096, 8
+        rng = np.random.default_rng(1)
+        lw = jnp.asarray(rng.normal(size=N), jnp.float32)
+        x = jnp.asarray(rng.normal(size=N), jnp.float32)
+        key = jax.random.key(7)
+
+        def local(lw_loc, x_loc):
+            y, A = dist.ring_stratified_resample(
+                {"x": x_loc}, lw_loc, key, N, "particles", D,
+                return_ancestors=True)
+            return y["x"], A
+
+        f = dist._shard_map(local, mesh,
+                            in_specs=(P("particles"), P("particles")),
+                            out_specs=(P("particles"), P("particles")))
+        y, A = jax.jit(f)(lw, x)
+
+        # single-device oracle replicating the ring's math in f32 (shard
+        # association of the normaliser, counter-based uniforms)
+        w = jnp.exp(lw - jnp.max(lw))
+        wD = w.reshape(D, -1)
+        cum = jnp.cumsum(wD, axis=1)
+        shard_sums = cum[:, -1]
+        S = jnp.sum(shard_sums)
+        prefix = jnp.cumsum(shard_sums) - shard_sums
+        cs = (cum + prefix[:, None]).reshape(-1)
+        g = jnp.float32(N) * cs / S
+        k = jnp.floor(g).astype(jnp.int32)
+        uk = dist._counter_uniforms(key, jnp.clip(k, 0, N - 1))
+        z = jnp.where(k >= N, N, k + (uk <= g - k).astype(jnp.int32))
+        z = jax.lax.associative_scan(jnp.maximum, jnp.clip(z, 0, N))
+        z = z.at[-1].set(N)
+        y_ref = np.asarray(repeat_by_z(x, z, N))
+        A_ref = np.repeat(np.arange(N), np.diff(np.asarray(z), prepend=0))
+        assert np.array_equal(np.asarray(A), A_ref)
+        assert np.array_equal(np.asarray(y), y_ref)
+
+    def test_multinomial_ring_distribution(self):
+        """Unbiasedness of the ring multinomial counts: mean offspring of
+        each particle ~ M * W over replicates."""
+        from jax.sharding import PartitionSpec as P
+        from particles_tpu.parallel import distributed as dist
+
+        mesh = self._mesh()
+        N, D, R = 512, 8, 200
+        rng = np.random.default_rng(2)
+        lw = jnp.asarray(rng.normal(size=N) * 1.5, jnp.float32)
+
+        def local(lw_loc, key):
+            _, A = dist.ring_multinomial_resample(
+                {"x": jnp.zeros(N // D)}, lw_loc, key, N, "particles", D,
+                return_ancestors=True)
+            return A
+
+        f = dist._shard_map(
+            local, mesh, in_specs=(P("particles"), P()),
+            out_specs=P("particles"))
+        fj = jax.jit(lambda lw, keys: jax.vmap(
+            lambda k: f(lw, k))(keys))
+        A_all = np.asarray(fj(lw, jax.random.split(jax.random.key(0), R)))
+        # ancestors sorted (sorted-uniform merge) and in range
+        assert (np.diff(A_all, axis=1) >= 0).all()
+        counts = np.zeros((R, N), np.int64)
+        for r in range(R):
+            counts[r] = np.bincount(A_all[r], minlength=N)
+        W = np.exp(np.asarray(lw) - np.asarray(lw).max())
+        W /= W.sum()
+        mean = counts.mean(axis=0)
+        se = np.sqrt(np.maximum(N * W, 0.05) / R)
+        assert np.all(np.abs(mean - N * W) < 6 * se + 0.1), np.abs(
+            mean - N * W).max()
+
+    def test_shardmap_smc_stratified_and_multinomial(self):
+        """End-to-end sharded filters under the new rings match the
+        Kalman oracle within MC tolerance."""
+        ssm, y, exact = setup_lg()
+        fk = ssms.Bootstrap(ssm=ssm, data=y)
+        mesh = self._mesh()
+        for scheme in ("stratified", "multinomial"):
+            res = parallel.run_shardmap_smc(
+                fk, N=4096, key=jax.random.key(11), mesh=mesh,
+                resampling=scheme)
+            assert abs(float(res.logLt) - exact) < 0.6, (
+                scheme, float(res.logLt), exact)
