@@ -88,6 +88,12 @@ def main(small=False):
     print(f"regenerate_data=True: tau0 mean {taus2.mean():.3f} "
           f"(prior mean 0.2)")
     assert np.isfinite(taus2).all()
+    # the correctness mode is a STATISTICAL statement (reference
+    # mcmc.py:555-560): the chain targets the prior Gamma(2, 10)
+    # (mean 0.2, sd 0.141) — assert the mean within generous MC slack
+    # for a short autocorrelated chain, and that the chain mixes at all
+    assert abs(taus2.mean() - 0.2) < 0.3, taus2.mean()
+    assert taus2.std() > 0.02, taus2.std()
     return {"tau0": taus, "tau0_prior_mode": taus2}
 
 

@@ -82,6 +82,35 @@ def main(small=False, leverage=None):
     assert np.isfinite(out["logLt"])
     assert float(pf.wgts.ESS) > 1.0
     assert abs(out["rho"][0]) < 1.0
+
+    # statistical certification (round 4): SMC2's theta-posterior must
+    # agree with an INDEPENDENT PMMH chain on the same (model, prior,
+    # data) — two different inference algorithms, one posterior.  In
+    # small mode this runs in CI; in full mode it reproduces the
+    # documented 5000-iter cross-check of the moderate-persistence mode.
+    from particles_tpu import mcmc
+
+    if leverage:
+        pmmh_prior = prior  # same 4-param prior
+    else:
+        pmmh_prior = prior
+    niter = 1500 if small else 4000
+    burn = niter // 3
+    m = mcmc.PMMH(ssm_cls=ssm_cls, prior=pmmh_prior, data=y,
+                  Nx=init_Nx, niter=niter, key=jax.random.key(5))
+    m.run()
+    print(f"PMMH cross-check ({niter} iters, acc {m.acc_rate:.2f}):")
+    for par in prior.laws:
+        chain = np.asarray(m.chain.theta[par])[burn:]
+        mp, sp = chain.mean(), chain.std()
+        ms, ss = out[par]
+        print(f"  {par:6s}: PMMH {mp:+.3f} +/- {sp:.3f}   "
+              f"SMC2 {ms:+.3f} +/- {ss:.3f}")
+        # posterior-mean agreement within MC tolerance: both estimators
+        # target the same posterior; allow ~one posterior sd of combined
+        # Monte-Carlo slack (small Ntheta / short chain in CI mode)
+        tol = 0.8 * max(sp, ss) + 0.05
+        assert abs(ms - mp) < tol, (par, ms, mp, tol)
     return out
 
 
