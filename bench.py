@@ -430,6 +430,111 @@ def measure_device():
         out.update(_with_alarm(samplers, 900))
     except Exception as e:  # noqa: BLE001 — keep the headline alive
         out["samplers"] = f"failed: {type(e).__name__}"
+
+    # round-4b: off-line smoothing headline.  The reference's single
+    # biggest published wall-clock is the off-line smoothing comparison
+    # ("~1 day", book/smoothing/offline_smoothing.py:20); measure the
+    # recommended FFBS variant (MCMC, Dau & Chopin 2022) at a production
+    # shape — N=2^17 forward particles, M=N backward trajectories.
+    def smoothing_bench():
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from particles_tpu import core, smoothing
+
+        Ns, Ts = 2 ** 17, 128
+        fk = _build(Ts)
+
+        @jax.jit
+        def fwd(key):
+            carry, _, hist = core._run_full(
+                fk, key, Ns, Ts, False, "systematic", 0.5, None, True)
+            return carry.logLt, hist
+
+        logLt, hist = fwd(jax.random.key(0))
+        assert np.isfinite(float(logLt))
+        el_f = float("inf")
+        for r in range(1, 3):
+            t0 = time.perf_counter()
+            logLt, hist = fwd(jax.random.key(r))
+            float(logLt)
+            el_f = min(el_f, time.perf_counter() - t0)
+
+        X, A, lw = hist
+
+        @jax.jit
+        def bwd(key, X, A, lw):
+            h = smoothing.ParticleHistory(fk, X, A, lw)
+            paths = h.backward_sampling_mcmc(key, Ns)
+            return jnp.sum(paths)
+
+        s = float(bwd(jax.random.key(10), X, A, lw))
+        assert np.isfinite(s)
+        el_b = float("inf")
+        for r in range(11, 13):
+            t0 = time.perf_counter()
+            s = float(bwd(jax.random.key(r), X, A, lw))
+            el_b = min(el_b, time.perf_counter() - t0)
+        return {
+            "ffbs_config": f"FFBS-MCMC N=2^17 T={Ts} M=2^17 "
+                           "(ref offline_smoothing.py:20 '~1 day' study "
+                           "class)",
+            "ffbs_forward_s": round(el_f, 3),
+            "ffbs_backward_s": round(el_b, 3),
+            "ffbs_backward_step_ms": round(el_b / (Ts - 1) * 1e3, 3),
+        }
+
+    try:
+        out.update(_with_alarm(smoothing_bench, 600))
+    except Exception as e:  # noqa: BLE001 — keep the headline alive
+        out["smoothing"] = f"failed: {type(e).__name__}"
+
+    # round-4b: vmapped multi-chain PMMH — the deployment shape of the
+    # reference's pmmh studies (several independent chains; serial there,
+    # ">10 h", book/pmcmc/pmmh_lingauss.py:15).  At Nx=100 a single chain
+    # leaves the chip ~idle, so K chains cost ~one chain's wall-clock.
+    def multichain():
+        import jax
+        import numpy as np
+
+        from particles_tpu import distributions as dists
+        from particles_tpu import mcmc
+        from particles_tpu import state_space_models as ssms
+
+        T_pm, Nx, niter, nc = 200, 100, 3000, 8
+        true = ssms.StochVol(mu=-1.0, rho=0.9, sigma=0.3)
+        _, y = true.simulate(jax.random.key(0), T_pm)
+        prior_pm = dists.StructDist({
+            "mu": dists.Normal(scale=2.0),
+            "rho": dists.Uniform(a=-0.99, b=0.99),
+            "sigma": dists.Gamma(a=2.0, b=4.0),
+        })
+
+        def run_mc():
+            m = mcmc.PMMH(ssm_cls=ssms.StochVol, prior=prior_pm, data=y,
+                          Nx=Nx, niter=niter, nchains=nc,
+                          key=jax.random.key(1))
+            m.run()
+            return m
+
+        m = run_mc()                     # compile the vmapped chain scans
+        t0 = time.perf_counter()
+        m = run_mc()                     # re-execute (cached compiles)
+        el = time.perf_counter() - t0
+        acc = np.asarray(m.acc_rate)
+        assert (acc > 0.0).all() and (acc < 0.9).all(), acc
+        return {
+            "pmmh_multichain_s": round(el, 3),
+            "pmmh_multichain_config": f"{nc} vmapped chains, StochVol "
+                                      f"T={T_pm} Nx={Nx} niter={niter}",
+            "pmmh_multichain_acc": [round(float(a), 3) for a in acc],
+        }
+
+    try:
+        out.update(_with_alarm(multichain, 900))
+    except Exception as e:  # noqa: BLE001 — keep the headline alive
+        out["multichain"] = f"failed: {type(e).__name__}"
     return out
 
 

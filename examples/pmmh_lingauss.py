@@ -70,6 +70,24 @@ def main(small=False):
     for Nx, mn in means.items():
         # pseudo-marginal exactness: both chains target the TRUE posterior
         assert abs(mn - post_mean) < max(tol, 0.15), (Nx, mn, post_mean)
+
+    # vmapped multi-chain PMMH (TPU extension; the reference runs its
+    # multi-chain studies serially): K overdispersed-prior-start chains in
+    # one program — every chain individually recovers the exact posterior
+    # mean, the multi-chain analogue of the book's convergence check
+    nc = 2 if small else 4
+    Nx = 100 if small else 200
+    m = mcmc.PMMH(ssm_cls=LGfixed, prior=prior, data=y, Nx=Nx,
+                  niter=niter, nchains=nc, key=jax.random.key(99))
+    m.run()
+    ch = np.asarray(m.chain.theta["rho"])[burn:]          # (iters, nc)
+    per_chain = ch.mean(axis=0)
+    print(f"{nc} vmapped chains at Nx={Nx}: per-chain E[rho] = "
+          + " ".join(f"{v:+.3f}" for v in per_chain)
+          + f"  acc = {np.asarray(m.acc_rate).round(2)}")
+    assert abs(ch.ravel().mean() - post_mean) < max(tol, 0.15)
+    assert np.abs(per_chain - post_mean).max() < max(2.5 * tol, 0.35), (
+        per_chain, post_mean)
     return means, post_mean
 
 

@@ -158,10 +158,11 @@ class GenericRWHM(MCMC):
     """
 
     def __init__(self, niter=10, verbose=0, theta0=None, adaptive=True,
-                 scale=1.0, rw_cov=None, key=None, seed=0):
+                 scale=1.0, rw_cov=None, key=None, seed=0, nchains=1):
         super().__init__(niter=niter, verbose=verbose, key=key, seed=seed)
         self.theta0 = theta0
         self.adaptive = adaptive
+        self.nchains = int(nchains)
         k_tmpl, self.key = jax.random.split(self.key)
         self.template = _theta_template(self.prior, k_tmpl)
         self.dim = int(_dict_to_vec(self.template).shape[0])
@@ -213,7 +214,21 @@ class GenericRWHM(MCMC):
 
     @utils.timer
     def run(self):
-        """Run the chain as (a few) compiled segments."""
+        """Run the chain(s) as (a few) compiled segments.
+
+        With ``nchains > 1`` the chains run VMAPPED — K independent
+        chains (overdispersed prior starts, independent proposal
+        adaptation and, for PMMH, independent inner-filter randomness)
+        for roughly the device cost of one when a single chain
+        underutilises the chip (the PMMH regime: Nx ~ 100 inner
+        particles leaves the VPU ~idle).  The reference runs its
+        multi-chain PMMH studies serially (book/pmcmc/pmmh_lingauss.py:15,
+        ">10 h" on one core).  The chain is stored with leaves shaped
+        ``(niter, nchains, ...)`` — the (P, M) layout
+        :mod:`particles_tpu.variance_mcmc` estimators consume directly.
+        """
+        if self.nchains > 1:
+            return self._run_multichain()
         k0, keval0, kchain = jax.random.split(self.key, 3)
         if self.theta0 is None:
             th0 = {k: v[0] for k, v in self.prior.rvs(k0, size=1).items()}
@@ -253,8 +268,78 @@ class GenericRWHM(MCMC):
         self.chain = ssp.ThetaParticles(theta=theta_chain, lpost=all_lposts)
         self.nacc = int(state[3])
 
+    def _run_multichain(self):
+        """``nchains`` vmapped chains; see :meth:`run`."""
+        nc = self.nchains
+        k0, keval0, kchain = jax.random.split(self.key, 3)
+        if self.theta0 is None:
+            th0 = self.prior.rvs(k0, size=nc)  # dict of (nc, ...) leaves
+        else:
+            if set(self.theta0) != set(self.template):
+                raise ValueError(
+                    f"theta0 keys {sorted(self.theta0)} != prior keys "
+                    f"{sorted(self.template)}")
+            th0 = {}
+            for k in self.template:
+                v = jnp.asarray(self.theta0[k])
+                tgt = (nc,) + self.template[k].shape
+                if v.shape == self.template[k].shape:
+                    v = jnp.broadcast_to(v, tgt)  # same start, all chains
+                elif v.shape != tgt:
+                    raise ValueError(
+                        f"theta0[{k!r}]: shape {v.shape} is neither the "
+                        f"scalar template shape {self.template[k].shape} "
+                        f"nor the per-chain shape {tgt}")
+                th0[k] = v
+        th0_vecs = jax.vmap(_dict_to_vec)(th0)  # (nc, dim)
+
+        def _lp0(vec, kev):
+            self._eval_key = kev
+            return self.logpost(_vec_to_dict(vec, self.template))
+
+        lpost0 = jax.jit(jax.vmap(_lp0))(
+            th0_vecs, jax.random.split(keval0, nc))
+        trk1 = (self.cov_tracker.init_state() if self.adaptive
+                else _TrackerState(jnp.int32(0), jnp.zeros(self.dim),
+                                   jnp.eye(self.dim), jnp.eye(self.dim),
+                                   jnp.eye(self.dim)))
+        trk0 = jax.tree_util.tree_map(
+            lambda l: jnp.broadcast_to(l, (nc,) + l.shape), trk1)
+
+        def _scan_mc(ks, states, nsteps):
+            return jax.vmap(
+                lambda k, s: self._chain_scan(k, s, nsteps))(ks, states)
+
+        runner = jax.jit(_scan_mc, static_argnames=("nsteps",))
+        state = (th0_vecs, lpost0, trk0,
+                 jnp.zeros(nc, jnp.int32))
+        remaining = self.niter - 1
+        th_chunks = [th0_vecs[:, None, :]]        # (nc, 1, dim)
+        lp_chunks = [lpost0[:, None]]
+        # per-chunk device time scales with nchains — scale the chunk down
+        # so one compiled segment stays well under backend runtime
+        # deadlines (the axon tunnel kills single programs at ~100 s)
+        chunk = max(100, self.chain_chunk // nc)
+        while remaining > 0:
+            nsteps = min(remaining, chunk)
+            kchain, kc = jax.random.split(kchain)
+            state, thetas, lposts = runner(
+                jax.random.split(kc, nc), state, nsteps=nsteps)
+            jax.block_until_ready(lposts)
+            th_chunks.append(thetas)              # (nc, nsteps, dim)
+            lp_chunks.append(lposts)
+            remaining -= nsteps
+        # (niter, nc, ...) — the variance_mcmc (P, M) chain-array layout
+        all_thetas = jnp.concatenate(th_chunks, axis=1).transpose(1, 0, 2)
+        all_lposts = jnp.concatenate(lp_chunks, axis=1).T
+        theta_chain = jax.vmap(jax.vmap(
+            lambda v: _vec_to_dict(v, self.template)))(all_thetas)
+        self.chain = ssp.ThetaParticles(theta=theta_chain, lpost=all_lposts)
+        self.nacc = np.asarray(state[3])          # per-chain accept counts
+
     @property
     def acc_rate(self):
+        """Acceptance rate — a scalar for one chain, (nchains,) vmapped."""
         return self.nacc / (self.niter - 1)
 
 
@@ -263,14 +348,15 @@ class BasicRWHM(GenericRWHM):
     (reference mcmc.py:304-356)."""
 
     def __init__(self, niter=10, verbose=0, theta0=None, adaptive=True,
-                 scale=1.0, rw_cov=None, model=None, key=None, seed=0):
+                 scale=1.0, rw_cov=None, model=None, key=None, seed=0,
+                 nchains=1):
         if model is None:
             raise ValueError("BasicRWHM: model not provided")
         self.model = model
         self.prior = model.prior
         super().__init__(niter=niter, verbose=verbose, theta0=theta0,
                          adaptive=adaptive, scale=scale, rw_cov=rw_cov,
-                         key=key, seed=seed)
+                         key=key, seed=seed, nchains=nchains)
 
     def logpost(self, theta):
         th_batch = {k: jnp.atleast_1d(v) for k, v in theta.items()}
@@ -290,7 +376,7 @@ class PMMH(GenericRWHM):
                  data=None, fk_cls=None, Nx=100, theta0=None,
                  adaptive=True, scale=1.0, rw_cov=None, key=None, seed=0,
                  resampling="systematic", ESSrmin=0.5, smc_cls=None,
-                 smc_options=None):
+                 smc_options=None, nchains=1):
         self.ssm_cls = ssm_cls
         self.prior = prior
         self.data = jnp.asarray(data)
@@ -324,7 +410,7 @@ class PMMH(GenericRWHM):
                     f"{sorted(opts)} (supported: qmc, resampling, ESSrmin)")
         super().__init__(niter=niter, verbose=verbose, theta0=theta0,
                          adaptive=adaptive, scale=scale, rw_cov=rw_cov,
-                         key=key, seed=seed)
+                         key=key, seed=seed, nchains=nchains)
         self._pf_key = jax.random.fold_in(self.key, 12345)
 
     def alg_instance(self, theta, key=None):

@@ -358,9 +358,46 @@ def multinomial_iid(key, W, M=None):
 
     Unsorted uniforms + searchsorted directly gives IID draws; no shuffle
     needed.
+
+    On TPU at large M the M-point binary search is the slow primitive
+    (``jnp.searchsorted`` ≈ 20 ms at M ~ 1e5 in a scan on v5e, the
+    dominant cost of MCMC/rejection FFBS), so the fast path re-phrases
+    the SAME lookup as sort + sorted-serve + unsort — all fast
+    primitives: ``lax.sort`` the uniforms (carrying the permutation),
+    serve the inverse CDF on the sorted stream through the su-mode
+    repeat kernel (or merge-rank + the P=0 ancestor kernel), and route
+    the results back with a second sort keyed on the permutation.
+    Realisation-equivalent to ``searchsorted(cs, u, side='left')`` —
+    ``i(j) = #{i: cs_i < u_j}`` tie-for-tie — up to ulp differences in
+    the monotone normalised cumsum.
     """
+    from particles_tpu import ops
+    from particles_tpu.ops import repeat_kernel as rk
+
     M = W.shape[0] if M is None else M
+    N = W.shape[0]
     u = jax.random.uniform(key, (M,))
+    if rk._on_tpu() and M >= rk._C and N >= rk._C:
+        iota = jnp.arange(M, dtype=jnp.int32)
+        su, perm = jax.lax.sort((u, iota), num_keys=1)
+        cs, cs_mono = _normalised_cumsum_mono(W)
+        anc_sorted = None
+        if cs_mono and M == N:
+            # fused inverse-CDF serve: the P=0 ancestor instantiation of
+            # the su-mode plan (cs[-1] pinned above every u < 1)
+            plan = ops.make_repeat_plan_su(
+                su, cs.at[-1].set(jnp.float32(1.0)), M)
+            if plan is not None:
+                _, anc_sorted = rk.repeat_with_plan_cols(
+                    plan, [], want_anc=True)
+        if anc_sorted is None:
+            z = _merge_rank_counts(su, cs, M)
+            z = z.at[-1].set(M)
+            if not cs_mono:
+                z = _monotone_z(z)
+            anc_sorted = ops.ancestors_by_z(z, M)
+        _, out = jax.lax.sort((perm, anc_sorted), num_keys=1)
+        return out
     cs = jnp.cumsum(W)
     return jnp.clip(jnp.searchsorted(cs, u, side="left"), 0, W.shape[0] - 1).astype(
         jnp.int32

@@ -788,6 +788,92 @@ class TestCountsAncestorEquivalence:
         assert rk._leaf_routable(jnp.zeros(16, jnp.int16), 16)
 
 
+class TestMultinomialIIDFastPath:
+    """Round 4b: on TPU ``multinomial_iid`` re-phrases the M-point binary
+    search (the ~20 ms/1e5 primitive) as sort + sorted inverse-CDF serve +
+    unsort — realisation-equivalent to ``searchsorted(cs, u, 'left')`` on
+    the SAME cumulative weights (measured 1.16 vs 17.6 ms/iter at
+    M = 2^17 on v5e)."""
+
+    def _patched(self):
+        from jax.experimental import pallas as pl
+
+        import particles_tpu.ops.merge_rank_kernel as mk
+        import particles_tpu.ops.repeat_kernel as rk
+        import particles_tpu.ops.z_kernel as zk
+
+        orig = pl.pallas_call
+
+        def patched(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        mods = (rk, mk, zk)
+        origs = [(m, m.pl.pallas_call, m._on_tpu) for m in mods]
+        for m in mods:
+            m.pl.pallas_call = patched
+            m._on_tpu = lambda: True
+        return origs
+
+    @staticmethod
+    def _restore(origs):
+        import particles_tpu.ops.merge_rank_kernel as mk
+        import particles_tpu.ops.repeat_kernel as rk
+        import particles_tpu.ops.z_kernel as zk
+
+        for m, call, on_tpu in origs:
+            m.pl.pallas_call = call
+            m._on_tpu = on_tpu
+        rk._repeat_pallas_n.clear_cache()
+        zk._z_pallas.clear_cache()
+
+    @pytest.mark.parametrize("N", [2048, 8192])
+    def test_matches_searchsorted_realisation(self, N):
+        import jax
+
+        origs = self._patched()
+        try:
+            rng = np.random.default_rng(N)
+            W = rs.exp_and_normalise(
+                jnp.asarray(2.0 * rng.normal(size=N), jnp.float32))
+            key = jax.random.key(7)
+            out = np.asarray(rs.multinomial_iid(key, W))
+            # the oracle uses the SAME cs the fast route consumed
+            # (quantised-exact at N % 8192 == 0, XLA cumsum otherwise)
+            cs, mono = rs._normalised_cumsum_mono(W)
+            cs_np = np.asarray(cs if not mono
+                               else cs.at[-1].set(jnp.float32(1.0)))
+            u = np.asarray(jax.random.uniform(key, (N,)))
+            expected = np.clip(
+                np.searchsorted(cs_np, u, side="left"), 0, N - 1)
+            np.testing.assert_array_equal(out, expected)
+            # N = 8192 exercises the su-plan kernel serve; assert the
+            # fixed-point cs actually routed (guards silent fallback)
+            if N % 8192 == 0:
+                assert mono
+        finally:
+            self._restore(origs)
+
+    def test_m_not_n_route(self):
+        import jax
+
+        origs = self._patched()
+        try:
+            N, M = 4096, 2048
+            rng = np.random.default_rng(5)
+            W = rs.exp_and_normalise(
+                jnp.asarray(rng.normal(size=N), jnp.float32))
+            key = jax.random.key(11)
+            out = np.asarray(rs.multinomial_iid(key, W, M=M))
+            cs, mono = rs._normalised_cumsum_mono(W)
+            u = np.asarray(jax.random.uniform(key, (M,)))
+            expected = np.clip(
+                np.searchsorted(np.asarray(cs), u, side="left"), 0, N - 1)
+            np.testing.assert_array_equal(out, expected)
+        finally:
+            self._restore(origs)
+
+
 class TestBlockedSSP:
     """Round 4: ssp_counts routes to the hierarchical (tree) pairing at
     N >= _SSP_BLOCKED_MIN — a different valid SSP (any adapted pairing
