@@ -535,6 +535,61 @@ def measure_device():
         out.update(_with_alarm(multichain, 900))
     except Exception as e:  # noqa: BLE001 — keep the headline alive
         out["multichain"] = f"failed: {type(e).__name__}"
+
+    # round-4b: the reference's single most-quoted sampler wall-clock —
+    # SMC² on SV-with-leverage, Ntheta=1e3 over the full GBP/USD series
+    # (book/smc2/smc2_stochvol_leverage.py:14-16, "~2 h" per run on one
+    # CPU core).  Same config as examples/smc2_stochvol.py full mode.
+    # Run twice with the same key: the adaptive path (resample times, Nx
+    # doublings) is identical, so the second run is pure cached execution.
+    def smc2():
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        import particles_tpu as particles
+        from particles_tpu import datasets
+        from particles_tpu import distributions as dists
+        from particles_tpu import smc_samplers as ssp
+        from particles_tpu import state_space_models as ssms
+
+        y = jnp.asarray(datasets.GBP_vs_USD_9798().data, jnp.float32)
+        prior = dists.StructDist({
+            "mu": dists.Normal(loc=-1.0, scale=2.0),
+            "rho": dists.Uniform(a=-0.99, b=0.99),
+            "sigma": dists.Gamma(a=2.0, b=4.0),
+            "phi": dists.Uniform(a=-0.99, b=0.99),
+        })
+
+        def run_smc2():
+            fk = ssp.SMC2(ssm_cls=ssms.StochVolLeverage, prior=prior,
+                          data=y, init_Nx=100, len_chain=4,
+                          ar_to_increase_Nx=0.1)
+            pf = particles.SMC(fk=fk, N=1000, key=jax.random.key(0),
+                               ESSrmin=0.5)
+            pf.run()
+            float(pf.logLt)  # force (block_until_ready unreliable here)
+            return pf
+
+        t0 = time.perf_counter()
+        pf = run_smc2()                  # compile + execute
+        el_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pf = run_smc2()                  # same key: pure execution
+        el = time.perf_counter() - t0
+        assert np.isfinite(float(pf.logLt))
+        return {
+            "smc2_stochvol_leverage_s": round(el, 3),
+            "smc2_first_run_s": round(el_first, 3),
+            "smc2_config": "Ntheta=1000 T=751 init_Nx=100 len_chain=4 "
+                           f"final_Nx={int(pf.X.xs.shape[1])} "
+                           "(ref quotes ~2h per run, single core)",
+        }
+
+    try:
+        out.update(_with_alarm(smc2, 1200))
+    except Exception as e:  # noqa: BLE001 — keep the headline alive
+        out["smc2"] = f"failed: {type(e).__name__}"
     return out
 
 
