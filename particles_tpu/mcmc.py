@@ -71,6 +71,18 @@ class MCMC:
         discard = int(self.niter * discard_frac)
         return msjd({k: v[discard:] for k, v in self.chain.theta.items()})
 
+    def diagnostics(self, discard_frac=0.1, method="init_seq"):
+        """Per-parameter split-Rhat and effective sample size of the stored
+        chain(s) (``variance_mcmc.chain_diagnostics``); with ``nchains > 1``
+        the chains enter jointly.  No counterpart in the reference (its
+        pmcmc studies eyeball trace plots)."""
+        from particles_tpu import variance_mcmc
+
+        discard = int(self.niter * discard_frac)
+        return variance_mcmc.chain_diagnostics(
+            self.chain.theta, nchains=getattr(self, "nchains", 1),
+            discard=discard, method=method)
+
     def print_progress(self, n):
         msg = f"Iteration {n}"
         if hasattr(self, "nacc") and n > 0:

@@ -22,6 +22,9 @@ __all__ = [
     "MCMC_variance_naive",
     "MCMC_init_seq",
     "MCMC_Tukey_Hanning",
+    "gelman_rubin",
+    "ess",
+    "chain_diagnostics",
 ]
 
 
@@ -152,6 +155,83 @@ def autocovariance(X, order, mu=None, bias=True):
     P, _ = Xc.shape
     val = np.mean(Xc[: P - order] * Xc[order:P])
     return val * (P - order) / P if bias else val
+
+
+def gelman_rubin(X):
+    """Split-:math:`\\hat R` of Gelman & Rubin (1992) over a (P, M) chain
+    array (P iterations, M chains; the layout ``mcmc.GenericRWHM`` stores
+    with ``nchains > 1``).
+
+    Each chain is split in half (2M half-chains of length P//2) so the
+    statistic also detects non-stationarity within a single chain; M = 1 is
+    therefore allowed.  Values near 1 indicate convergence; > 1.01 is the
+    usual alarm threshold (Vehtari et al. 2021).  No counterpart in the
+    reference library (its pmcmc studies eyeball trace plots).
+    """
+    X = np.asarray(X, dtype=np.float64)
+    if X.ndim == 1:
+        X = X[:, None]
+    P, M = X.shape
+    if P < 4:
+        raise ValueError("gelman_rubin needs at least 4 iterations")
+    half = P // 2
+    # (half, 2M) array of half-chains
+    H = np.concatenate([X[:half], X[P - half:]], axis=1)
+    means = H.mean(axis=0)
+    within = H.var(axis=0, ddof=1).mean()
+    between = half * means.var(ddof=1)
+    if within < 1e-300:
+        return 1.0 if between < 1e-300 else np.inf
+    var_plus = (half - 1) / half * within + between / half
+    return float(np.sqrt(var_plus / within))
+
+
+def ess(X, method="init_seq"):
+    """Effective sample size of a (P, M) chain array: total draws P*M
+    deflated by the integrated autocorrelation time,
+    ``ess = P * M * c0 / sigma^2`` with ``sigma^2`` from
+    :func:`MCMC_variance` (``method`` in ['naive', 'init_seq', 'th'])."""
+    X = np.asarray(X, dtype=np.float64)
+    if X.ndim == 1:
+        X = X[:, None]
+    P, M = X.shape
+    c0 = float(np.var(X))
+    if c0 < 1e-300:
+        return float(P * M)
+    sigma2 = MCMC_variance(X, method)
+    if sigma2 <= 0.0:
+        return float(P * M)
+    return float(P * M * c0 / sigma2)
+
+
+def chain_diagnostics(theta, nchains=1, discard=0, method="init_seq"):
+    """Per-parameter convergence diagnostics for a chain stored as a dict
+    of arrays shaped ``(niter, *param_shape)`` (single chain) or
+    ``(niter, nchains, *param_shape)`` (the ``mcmc.GenericRWHM.chain.theta``
+    layout with ``nchains > 1`` — pass the sampler's ``nchains`` here, the
+    shapes alone cannot distinguish chains from parameter components).
+
+    Returns ``{name: {"rhat": float, "ess": float}}``; multivariate
+    parameters report the WORST component (max rhat, min ess).  ``discard``
+    drops the first iterations as burn-in.
+    """
+    out = {}
+    for name, arr in theta.items():
+        arr = np.asarray(arr, dtype=np.float64)[discard:]
+        if nchains > 1:
+            if arr.shape[1] != nchains:
+                raise ValueError(
+                    f"{name}: axis 1 is {arr.shape[1]}, expected "
+                    f"nchains={nchains}")
+        else:
+            arr = arr[:, None]
+        # flatten any trailing component dims -> (P, M, C)
+        P, M = arr.shape[0], arr.shape[1]
+        comps = arr.reshape(P, M, -1)
+        rhats = [gelman_rubin(comps[:, :, c]) for c in range(comps.shape[2])]
+        esss = [ess(comps[:, :, c], method) for c in range(comps.shape[2])]
+        out[name] = {"rhat": float(np.max(rhats)), "ess": float(np.min(esss))}
+    return out
 
 
 class AutoCovarianceCalculator:

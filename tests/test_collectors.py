@@ -163,6 +163,73 @@ class TestMCMCVariance:
         assert 0.6 < v < 1.5
 
 
+class TestChainDiagnostics:
+    """Multi-chain convergence diagnostics (split-Rhat / ESS) — companion
+    to mcmc's nchains support; no counterpart in the reference."""
+
+    @staticmethod
+    def _ar1(rng, rho, P, M):
+        X = np.zeros((P, M))
+        noise = rng.normal(size=(P, M)) * np.sqrt(1 - rho**2)
+        for t in range(1, P):
+            X[t] = rho * X[t - 1] + noise[t]
+        return X
+
+    def test_iid_chains(self):
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(4000, 4))
+        assert variance_mcmc.gelman_rubin(X) < 1.01
+        e = variance_mcmc.ess(X)
+        assert 0.8 * X.size < e < 1.3 * X.size
+
+    def test_ar1_iact(self):
+        """AR(1) rho=0.9: IACT = (1+rho)/(1-rho) = 19, ess ~ P*M/19."""
+        rng = np.random.default_rng(1)
+        P, M = 20000, 4
+        X = self._ar1(rng, 0.9, P, M)
+        assert variance_mcmc.gelman_rubin(X) < 1.02
+        e = variance_mcmc.ess(X)
+        assert P * M / 30 < e < P * M / 12, e
+
+    def test_rhat_detects_disagreeing_chains(self):
+        rng = np.random.default_rng(2)
+        X = rng.normal(size=(2000, 4))
+        X[:, 0] += 3.0  # one chain stuck in a different mode
+        assert variance_mcmc.gelman_rubin(X) > 1.5
+
+    def test_rhat_detects_trend_single_chain(self):
+        """Split-Rhat alarms on within-chain drift even with M=1."""
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=3000) + np.linspace(0.0, 4.0, 3000)
+        assert variance_mcmc.gelman_rubin(x) > 1.5
+        assert variance_mcmc.gelman_rubin(rng.normal(size=3000)) < 1.01
+
+    def test_chain_diagnostics_dict(self):
+        rng = np.random.default_rng(4)
+        P, M = 2000, 4
+        good = rng.normal(size=(P, M))
+        multi = rng.normal(size=(P, M, 2))
+        multi[:, :, 1] += np.where(np.arange(M) == 0, 3.0, 0.0)  # bad comp
+        d = variance_mcmc.chain_diagnostics(
+            {"a": good, "b": multi}, nchains=M)
+        assert d["a"]["rhat"] < 1.01
+        assert d["b"]["rhat"] > 1.5  # worst component reported
+        assert 0 < d["a"]["ess"] <= 1.35 * P * M
+        # single-chain layouts: (P,) and (P, d)
+        d1 = variance_mcmc.chain_diagnostics(
+            {"a": rng.normal(size=P), "b": rng.normal(size=(P, 3))})
+        assert d1["a"]["rhat"] < 1.01 and d1["b"]["rhat"] < 1.02
+        # discard drops burn-in: a transient start alarms, post-burn is fine
+        warm = rng.normal(size=(P, M))
+        warm[:600] += 5.0
+        dall = variance_mcmc.chain_diagnostics({"a": warm}, nchains=M)
+        dcut = variance_mcmc.chain_diagnostics({"a": warm}, nchains=M,
+                                               discard=600)
+        assert dall["a"]["rhat"] > 1.1 and dcut["a"]["rhat"] < 1.01
+        with pytest.raises(ValueError):
+            variance_mcmc.chain_diagnostics({"a": good}, nchains=3)
+
+
 class TestHostSideCollectorsOnFilters:
     """Var_phi/Var_logLt run host-side NumPy: attaching them to a plain
     (scan-engine) filter must transparently fall back to step-by-step

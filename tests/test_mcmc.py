@@ -176,6 +176,19 @@ class TestMultiChain:
                            theta0={"mu": np.zeros(2, np.float32)},
                            key=jax.random.key(8)).run()
 
+    def test_multichain_diagnostics(self):
+        rng = np.random.default_rng(11)
+        y = rng.normal(loc=1.0, size=20).astype(np.float32)
+        prior = dists.StructDist({"mu": dists.Normal(loc=0.0, scale=1.0)})
+        model = GaussianMean(data=y, prior=prior)
+        m = mcmc.BasicRWHM(model=model, niter=1500, nchains=4,
+                           key=jax.random.key(12))
+        m.run()
+        d = m.diagnostics(discard_frac=0.2)
+        # a well-mixing conjugate-target RWHM: converged, nontrivial ESS
+        assert d["mu"]["rhat"] < 1.05, d
+        assert 50 < d["mu"]["ess"] <= 1500 * 4, d
+
     def test_pmmh_multichain(self, lg_pmmh_setup):
         LGfixed, prior, y, post_mean, post_sd = lg_pmmh_setup
         nc, niter = 4, 800
