@@ -88,6 +88,13 @@ def main(small=False):
     assert abs(ch.ravel().mean() - post_mean) < max(tol, 0.15)
     assert np.abs(per_chain - post_mean).max() < max(2.5 * tol, 0.35), (
         per_chain, post_mean)
+    # multi-chain convergence diagnostics: all chains found the mode
+    diag = m.diagnostics(discard_frac=0.25)
+    print("  diagnostics:", {k: {"rhat": round(v["rhat"], 3),
+                                 "ess": round(v["ess"], 1)}
+                             for k, v in diag.items()})
+    assert diag["rho"]["rhat"] < 1.2, diag
+    assert diag["rho"]["ess"] > 20, diag
     return means, post_mean
 
 
