@@ -285,9 +285,16 @@ class Paris(OnlineSmootherMixin, Collector):
             return jnp.any(rejected) & (trials < maxtries)
 
         As0 = jnp.zeros((N, P), jnp.int32)
-        As, rejected, _, _ = jax.lax.while_loop(
-            cond, trial, (As0, jnp.ones((N, P), bool), kloop, jnp.int32(0))
-        )
+        # no_pallas: keep multinomial_iid's Pallas fast path out of this
+        # while_loop body — unvalidated on real TPU (Mosaic has hung on
+        # while loops with DMAs, CLAUDE.md); gate until smoke-tested.
+        from particles_tpu.ops import guard
+
+        with guard.no_pallas():
+            As, rejected, _, _ = jax.lax.while_loop(
+                cond, trial, (As0, jnp.ones((N, P), bool), kloop,
+                              jnp.int32(0))
+            )
         # exact fallback (full (N,N) backward weights + (N,P,N) Gumbel
         # draws) — only computed when some trajectory is still rejected;
         # lax.cond keeps the hybrid O(N) per step at high acceptance

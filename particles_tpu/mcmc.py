@@ -330,8 +330,12 @@ class GenericRWHM(MCMC):
         lp_chunks = [lpost0[:, None]]
         # per-chunk device time scales with nchains — scale the chunk down
         # so one compiled segment stays well under backend runtime
-        # deadlines (the axon tunnel kills single programs at ~100 s)
-        chunk = max(100, self.chain_chunk // nc)
+        # deadlines (the axon tunnel kills single programs at ~100 s; an
+        # unscaled chunk re-wedged the chip on 2026-08-19).  The floor of
+        # 25 keeps host-dispatch overhead negligible while preserving the
+        # 1/nchains scaling up to nc = 80 (a floor of 100 stopped scaling
+        # at nc = 20 and eroded the deadline margin for expensive configs).
+        chunk = max(25, self.chain_chunk // nc)
         while remaining > 0:
             nsteps = min(remaining, chunk)
             kchain, kc = jax.random.split(kchain)

@@ -69,23 +69,27 @@ def _shard_map(f, mesh, in_specs, out_specs):
                     check_rep=False)
 
 
-def _serve_fn(z_blk, d, Nloc):
+def _serve_fn(z_blk, d, Mloc):
     """Local repeat-by-z for one passing block: a function mapping a
-    payload (leading dim Nloc) to ``Y[j_loc] = X[#{k: z_blk_k <= j}]``
-    with ``j = d*Nloc + j_loc``.
+    payload (leading dim Nloc, the block's source count) to
+    ``Y[j_loc] = X[#{k: z_blk_k <= j}]`` with ``j = d*Mloc + j_loc`` —
+    ``Mloc`` output slots per shard (equal to Nloc for filters; the
+    waste-free sampler shape change has Mloc = Nloc / len_chain).
 
-    Restated on local indices (``z' = clip(z_blk - d*Nloc, 0, Nloc)``,
-    last entry pinned to Nloc) this is exactly the engine's repeat-by-z
-    problem, so it shares :func:`particles_tpu.ops.make_repeat_plan`: the
-    Pallas visit-list kernel on TPU, counts + ``jnp.repeat`` elsewhere.
-    The mapping agrees with ``searchsorted(z_blk, j, 'right')`` for every
-    SERVED output (outputs outside the block's range are masked by the
-    caller, so their values are irrelevant).
+    Restated on local output indices (``z' = clip(z_blk - d*Mloc, 0,
+    Mloc)``, last entry pinned to Mloc) this is exactly the engine's
+    repeat-by-z problem, so it shares
+    :func:`particles_tpu.ops.make_repeat_plan`: the Pallas visit-list
+    kernel on TPU (when source and output counts agree), counts +
+    ``jnp.repeat`` elsewhere.  The mapping agrees with
+    ``searchsorted(z_blk, j, 'right')`` for every SERVED output (outputs
+    outside the block's range are masked by the caller, so their values
+    are irrelevant).
     """
     from particles_tpu import ops
 
-    zp = jnp.clip(z_blk - d * Nloc, 0, Nloc).at[-1].set(Nloc)
-    return ops.serve_by_z(zp, Nloc)
+    zp = jnp.clip(z_blk - d * Mloc, 0, Mloc).at[-1].set(Mloc)
+    return ops.serve_by_z(zp, Mloc)
 
 
 def ring_systematic_resample(x_loc, lw_loc, u, M, axis, D,

@@ -173,7 +173,10 @@ def gelman_rubin(X):
         X = X[:, None]
     P, M = X.shape
     if P < 4:
-        raise ValueError("gelman_rubin needs at least 4 iterations")
+        # too short to split: report "no information" rather than raising
+        # (diagnostics() with a large discard_frac on a short chain should
+        # degrade gracefully, not crash the caller's reporting loop)
+        return float("nan")
     half = P // 2
     # (half, 2M) array of half-chains
     H = np.concatenate([X[:half], X[P - half:]], axis=1)
@@ -190,7 +193,12 @@ def ess(X, method="init_seq"):
     """Effective sample size of a (P, M) chain array: total draws P*M
     deflated by the integrated autocorrelation time,
     ``ess = P * M * c0 / sigma^2`` with ``sigma^2`` from
-    :func:`MCMC_variance` (``method`` in ['naive', 'init_seq', 'th'])."""
+    :func:`MCMC_variance` (``method`` in ['naive', 'init_seq', 'th']).
+
+    Note: the estimate is NOT capped at P*M — for anti-correlated
+    (super-efficient) chains ``sigma^2 < c0`` legitimately yields
+    ess > P*M (>100% efficiency); treat values above P*M as "at least
+    as good as iid draws"."""
     X = np.asarray(X, dtype=np.float64)
     if X.ndim == 1:
         X = X[:, None]

@@ -826,6 +826,10 @@ class TestMultinomialIIDFastPath:
             m._on_tpu = on_tpu
         rk._repeat_pallas_n.clear_cache()
         zk._z_pallas.clear_cache()
+        # the N=2048 case routes through the merge-rank kernel: clear its
+        # jit cache too or an interpret-compiled executable could serve
+        # later same-process TPU-backend tests
+        mk._merge_pallas.clear_cache()
 
     @pytest.mark.parametrize("N", [2048, 8192])
     def test_matches_searchsorted_realisation(self, N):
