@@ -170,11 +170,29 @@ class GenericRWHM(MCMC):
     """
 
     def __init__(self, niter=10, verbose=0, theta0=None, adaptive=True,
-                 scale=1.0, rw_cov=None, key=None, seed=0, nchains=1):
+                 scale=1.0, rw_cov=None, key=None, seed=0, nchains=1,
+                 mesh=None, mesh_axis=None):
         super().__init__(niter=niter, verbose=verbose, key=key, seed=seed)
         self.theta0 = theta0
         self.adaptive = adaptive
         self.nchains = int(nchains)
+        # chains x devices (SURVEY §2b row 1: the reference's primary
+        # parallelism is one run per core, utils.py:158-186): with a mesh,
+        # the vmapped chain axis is sharded over ``mesh_axis`` (default:
+        # the mesh's first axis) — chains are independent, so GSPMD
+        # partitions the program with ZERO collectives; per-chain
+        # results match the single-device vmapped path to ulp-level
+        # reassociation tolerance (XLA per-partition codegen may
+        # re-vectorise within-chain reductions).
+        # Composes with the particle axis multiplicatively: each chain's
+        # inner filter stays on one device (vmap); sharding BOTH chains
+        # and particles of one chain would need the shard_map engine
+        # inside vmap, which is not plumbed (particle sharding at
+        # PMMH's Nx ~ 100 would be all overhead anyway).
+        self.mesh = mesh
+        if mesh is not None and mesh_axis is None:
+            mesh_axis = mesh.axis_names[0]
+        self.mesh_axis = mesh_axis
         k_tmpl, self.key = jax.random.split(self.key)
         self.template = _theta_template(self.prior, k_tmpl)
         self.dim = int(_dict_to_vec(self.template).shape[0])
@@ -260,7 +278,14 @@ class GenericRWHM(MCMC):
                                    jnp.eye(self.dim), jnp.eye(self.dim),
                                    jnp.eye(self.dim)))
 
-        runner = jax.jit(self._chain_scan, static_argnames=("nsteps",))
+        # cache the jitted runner ON THE INSTANCE: run() may be called
+        # again (bench re-runs with a re-seeded key) and a fresh jax.jit
+        # wrapper around a fresh bound method would retrace AND recompile
+        # the whole nested chain scan
+        if not hasattr(self, "_runner_single"):
+            self._runner_single = jax.jit(self._chain_scan,
+                                          static_argnames=("nsteps",))
+        runner = self._runner_single
         state = (th0_vec, lpost0, trk0, jnp.int32(0))
         remaining = self.niter - 1
         th_chunks, lp_chunks = [th0_vec[None]], [jnp.asarray(lpost0)[None]]
@@ -309,8 +334,35 @@ class GenericRWHM(MCMC):
             self._eval_key = kev
             return self.logpost(_vec_to_dict(vec, self.template))
 
-        lpost0 = jax.jit(jax.vmap(_lp0))(
-            th0_vecs, jax.random.split(keval0, nc))
+        # chains x devices: shard the chain axis of every (nc, ...) leaf
+        # over the mesh; GSPMD partitions the independent chains with no
+        # collectives.  Pallas kernels cannot be partitioned by GSPMD, so
+        # trace under no_pallas (at PMMH's Nx the kernels would not route
+        # anyway; this keeps large-Nx configs safe).
+        from contextlib import nullcontext
+
+        from particles_tpu.ops import guard
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as _P
+
+            Dm = int(self.mesh.shape[self.mesh_axis])
+            if nc % Dm:
+                raise ValueError(
+                    f"nchains={nc} not divisible by mesh axis "
+                    f"{self.mesh_axis!r} size {Dm}")
+            _shard = NamedSharding(self.mesh, _P(self.mesh_axis))
+            put = lambda tree: jax.tree_util.tree_map(  # noqa: E731
+                lambda l: jax.device_put(l, _shard), tree)
+            trace_ctx = guard.no_pallas
+        else:
+            put = lambda tree: tree  # noqa: E731
+            trace_ctx = nullcontext
+
+        with trace_ctx():
+            lpost0 = jax.jit(jax.vmap(_lp0))(
+                put(th0_vecs), put(jax.random.split(keval0, nc)))
         trk1 = (self.cov_tracker.init_state() if self.adaptive
                 else _TrackerState(jnp.int32(0), jnp.zeros(self.dim),
                                    jnp.eye(self.dim), jnp.eye(self.dim),
@@ -322,9 +374,13 @@ class GenericRWHM(MCMC):
             return jax.vmap(
                 lambda k, s: self._chain_scan(k, s, nsteps))(ks, states)
 
-        runner = jax.jit(_scan_mc, static_argnames=("nsteps",))
-        state = (th0_vecs, lpost0, trk0,
-                 jnp.zeros(nc, jnp.int32))
+        # instance-cached jit wrapper: see run()
+        if not hasattr(self, "_runner_multi"):
+            self._runner_multi = jax.jit(_scan_mc,
+                                         static_argnames=("nsteps",))
+        runner = self._runner_multi
+        state = (put(th0_vecs), lpost0, put(trk0),
+                 put(jnp.zeros(nc, jnp.int32)))
         remaining = self.niter - 1
         th_chunks = [th0_vecs[:, None, :]]        # (nc, 1, dim)
         lp_chunks = [lpost0[:, None]]
@@ -339,8 +395,9 @@ class GenericRWHM(MCMC):
         while remaining > 0:
             nsteps = min(remaining, chunk)
             kchain, kc = jax.random.split(kchain)
-            state, thetas, lposts = runner(
-                jax.random.split(kc, nc), state, nsteps=nsteps)
+            with trace_ctx():
+                state, thetas, lposts = runner(
+                    put(jax.random.split(kc, nc)), state, nsteps=nsteps)
             jax.block_until_ready(lposts)
             th_chunks.append(thetas)              # (nc, nsteps, dim)
             lp_chunks.append(lposts)
@@ -365,14 +422,15 @@ class BasicRWHM(GenericRWHM):
 
     def __init__(self, niter=10, verbose=0, theta0=None, adaptive=True,
                  scale=1.0, rw_cov=None, model=None, key=None, seed=0,
-                 nchains=1):
+                 nchains=1, mesh=None, mesh_axis=None):
         if model is None:
             raise ValueError("BasicRWHM: model not provided")
         self.model = model
         self.prior = model.prior
         super().__init__(niter=niter, verbose=verbose, theta0=theta0,
                          adaptive=adaptive, scale=scale, rw_cov=rw_cov,
-                         key=key, seed=seed, nchains=nchains)
+                         key=key, seed=seed, nchains=nchains, mesh=mesh,
+                         mesh_axis=mesh_axis)
 
     def logpost(self, theta):
         th_batch = {k: jnp.atleast_1d(v) for k, v in theta.items()}
@@ -392,7 +450,7 @@ class PMMH(GenericRWHM):
                  data=None, fk_cls=None, Nx=100, theta0=None,
                  adaptive=True, scale=1.0, rw_cov=None, key=None, seed=0,
                  resampling="systematic", ESSrmin=0.5, smc_cls=None,
-                 smc_options=None, nchains=1):
+                 smc_options=None, nchains=1, mesh=None, mesh_axis=None):
         self.ssm_cls = ssm_cls
         self.prior = prior
         self.data = jnp.asarray(data)
@@ -426,7 +484,8 @@ class PMMH(GenericRWHM):
                     f"{sorted(opts)} (supported: qmc, resampling, ESSrmin)")
         super().__init__(niter=niter, verbose=verbose, theta0=theta0,
                          adaptive=adaptive, scale=scale, rw_cov=rw_cov,
-                         key=key, seed=seed, nchains=nchains)
+                         key=key, seed=seed, nchains=nchains, mesh=mesh,
+                         mesh_axis=mesh_axis)
         self._pf_key = jax.random.fold_in(self.key, 12345)
 
     def alg_instance(self, theta, key=None):

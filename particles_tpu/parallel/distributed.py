@@ -106,6 +106,7 @@ def ring_systematic_resample(x_loc, lw_loc, u, M, axis, D,
     vector.
     """
     Nloc = lw_loc.shape[0]
+    Mloc = M // D  # output slots per shard (== Nloc except shape changes)
     d = jax.lax.axis_index(axis)
     # global normalisation (reduction-order-stable per shard)
     m = jax.lax.pmax(jnp.max(lw_loc), axis)
@@ -133,12 +134,12 @@ def ring_systematic_resample(x_loc, lw_loc, u, M, axis, D,
 
     # ring: rotate each shard's (z, x) block; serve outputs whose global
     # index j falls in the passing block's range [zb[e], zb[e+1])
-    j = d * Nloc + jnp.arange(Nloc, dtype=jnp.int32)
+    j = d * Mloc + jnp.arange(Mloc, dtype=jnp.int32)
     return ring_serve(
         x_loc, z_loc, Nloc,
         served_of=lambda e: (j >= zb_ext[e]) & (j < zb_ext[e + 1]),
-        rep_of=lambda z_blk: _serve_fn(z_blk, d, Nloc),
-        axis=axis, D=D, return_ancestors=return_ancestors)
+        rep_of=lambda z_blk: _serve_fn(z_blk, d, Mloc),
+        axis=axis, D=D, return_ancestors=return_ancestors, Mloc=Mloc)
 
 
 def _counter_uniforms(key, k):
@@ -169,6 +170,7 @@ def ring_stratified_resample(x_loc, lw_loc, key, M, axis, D,
     ring.  ``key`` must be the REPLICATED resampling key.
     """
     Nloc = lw_loc.shape[0]
+    Mloc = M // D
     d = jax.lax.axis_index(axis)
     m = jax.lax.pmax(jnp.max(lw_loc), axis)
     w = jnp.exp(lw_loc - m)
@@ -195,12 +197,12 @@ def ring_stratified_resample(x_loc, lw_loc, key, M, axis, D,
                         zb_ext[d + 1])
     z_loc = z_loc.at[-1].set(zb_ext[d + 1])
 
-    j = d * Nloc + jnp.arange(Nloc, dtype=jnp.int32)
+    j = d * Mloc + jnp.arange(Mloc, dtype=jnp.int32)
     return ring_serve(
         x_loc, z_loc, Nloc,
         served_of=lambda e: (j >= zb_ext[e]) & (j < zb_ext[e + 1]),
-        rep_of=lambda z_blk: _serve_fn(z_blk, d, Nloc),
-        axis=axis, D=D, return_ancestors=return_ancestors)
+        rep_of=lambda z_blk: _serve_fn(z_blk, d, Mloc),
+        axis=axis, D=D, return_ancestors=return_ancestors, Mloc=Mloc)
 
 
 def ring_multinomial_resample(x_loc, lw_loc, key, M, axis, D,
@@ -231,6 +233,7 @@ def ring_multinomial_resample(x_loc, lw_loc, key, M, axis, D,
     from particles_tpu.parallel import dqmc
 
     Nloc = lw_loc.shape[0]
+    Mloc = M // D  # sorted-uniform block per shard (M outputs globally)
     d = jax.lax.axis_index(axis)
     # (D+1,) boundary table V_0=0, V_1..V_{D-1} order stats, V_D=1
     # (replicated key -> identical on every shard)
@@ -238,7 +241,7 @@ def ring_multinomial_resample(x_loc, lw_loc, key, M, axis, D,
     v = jnp.float32(0.0)
     Vs = [v]
     for e in range(D - 1):
-        b = jax.random.beta(kb[e], Nloc, M - (e + 1) * Nloc + 1)
+        b = jax.random.beta(kb[e], Mloc, M - (e + 1) * Mloc + 1)
         v = v + (1.0 - v) * b.astype(jnp.float32)
         Vs.append(v)
     Vs.append(jnp.float32(1.0))
@@ -246,13 +249,13 @@ def ring_multinomial_resample(x_loc, lw_loc, key, M, axis, D,
     lo = jnp.take(V, d)
     hi = jnp.take(V, d + 1)
     k_loc = jax.random.fold_in(key, d)
-    # interior blocks: Nloc-1 interiors + the boundary as the last point;
-    # top shard: a full Nloc block scaled into (V_{D-1}, 1)
-    inner = rs.uniform_spacings(jax.random.fold_in(k_loc, 1), Nloc - 1)
+    # interior blocks: Mloc-1 interiors + the boundary as the last point;
+    # top shard: a full Mloc block scaled into (V_{D-1}, 1)
+    inner = rs.uniform_spacings(jax.random.fold_in(k_loc, 1), Mloc - 1)
     su_mid = jnp.concatenate(
         [lo + (hi - lo) * inner, hi[None].astype(inner.dtype)])
     su_top = lo + (1.0 - lo) * rs.uniform_spacings(
-        jax.random.fold_in(k_loc, 2), Nloc)
+        jax.random.fold_in(k_loc, 2), Mloc)
     su = jnp.where(d == D - 1, su_top, su_mid)
 
     # globally-normalised local weights for the merge ring
@@ -264,7 +267,7 @@ def ring_multinomial_resample(x_loc, lw_loc, key, M, axis, D,
 
 
 def ring_serve(x_loc, blk0, Nloc, served_of, rep_of, axis, D,
-               return_ancestors=False):
+               return_ancestors=False, Mloc=None):
     """The shared D-hop ring-serve scaffolding of both distributed
     resamplers (systematic repeat-by-z and SQMC merge-rank): rotate each
     shard's (``blk``, ``x``) around the ring with ``ppermute``; at hop
@@ -274,12 +277,20 @@ def ring_serve(x_loc, blk0, Nloc, served_of, rep_of, axis, D,
     (the callers' boundary tables tile the output range), so masked
     accumulation needs no combining.
 
+    ``Mloc`` (default ``Nloc``) is the number of OUTPUT slots per shard:
+    the waste-free sampler resample serves M = N0/len_chain outputs from
+    N0 sources, so ``rep_of`` maps (Nloc,)-leading payloads to
+    (Mloc,)-leading outputs and ``served_of(e)`` masks (Mloc,).
+
     With ``return_ancestors=True`` also returns this shard's slice of the
     GLOBAL ancestor vector (``e * Nloc + rep(iota)`` at the serving hop).
     """
+    if Mloc is None:
+        Mloc = Nloc
     d = jax.lax.axis_index(axis)
-    y0 = jax.tree_util.tree_map(lambda a: jnp.zeros_like(a), x_loc)
-    A0 = jnp.zeros((Nloc,), jnp.int32)
+    y0 = jax.tree_util.tree_map(
+        lambda a: jnp.zeros((Mloc,) + a.shape[1:], a.dtype), x_loc)
+    A0 = jnp.zeros((Mloc,), jnp.int32)
     iota = jnp.arange(Nloc, dtype=jnp.int32)
     perm = [(i, (i + 1) % D) for i in range(D)]
 
@@ -320,6 +331,171 @@ def _hist_prefix_spec(hist_spec, axis):
     return P(None, axis)
 
 
+def _sampler_carry_specs(carry_shapes, N0loc, axis):
+    """PartitionSpec tree for the sampler carry: per-particle leaves
+    (leading dim == the local particle count N0loc) ride the particle
+    axis; everything else (the replicated key, shared scalars, the
+    calibrated proposal Cholesky, logLt accounting) is replicated.
+
+    The rule is shape-based because ThetaParticles fields are model-
+    defined; a shared leaf whose leading dim coincidentally equals N0loc
+    would be mis-sharded — sampler configs (N0 = N*len_chain >= 1000 vs
+    parameter dims of a few) keep the two regimes far apart.
+    """
+    def spec_of(leaf):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) >= 1 and shape[0] == N0loc:
+            return P(axis)
+        return P()
+
+    return jax.tree_util.tree_map(spec_of, carry_shapes)
+
+
+class ShardedSamplerResult:
+    """Result of :func:`run_shardmap_smc` on an SMC-sampler FK: the final
+    particle system (global arrays), evidence, summaries and history —
+    the attributes sampler users read off ``SMC`` after ``run()``."""
+
+    def __init__(self, logLt, X, wgts, t, summaries, hist):
+        self.logLt = logLt
+        self.X = X
+        self.wgts = wgts
+        self.t = t
+        self.summaries = summaries
+        self.hist = hist
+
+    @property
+    def W(self):
+        return self.wgts.W
+
+
+_sampler_shard_cache = {}
+
+
+def _run_shardmap_sampler(fk, N, key, mesh, axis, resampling, ESSrmin,
+                          collect, store_history, verbose=False):
+    """Run an SMC sampler (IBIS / Tempering / AdaptiveTempering — any
+    ``is_sampler`` FK) with its PARTICLES sharded over ``axis``.
+
+    The sampler stepping engine (``smc_samplers._sampler_step``) executes
+    inside ``shard_map`` under :mod:`particles_tpu.distctx`, one compiled
+    program per step, host loop only syncing the replicated termination
+    scalar (the tempering exponent / horizon): the waste-free resample
+    serves M = N global starting points from N0 = N*len_chain sharded
+    particles through the ring redistribution (the M != N0 shape change
+    rides ``ring_serve``'s ``Mloc``), chain moves run embarrassingly
+    particle-parallel with shard-folded keys, and the adaptive-tempering
+    exponent solve gathers the (N0,) llik once per step and bisects
+    replicated.  Reference workload being served: the waste-free sampler
+    step (smc_samplers.py:714-936) — the M·P-particle resample+move at
+    the heart of the reference's heaviest published runs (SMC² "~2 h",
+    adaptive tempering studies).
+
+    Collectors and history run HOST-side between steps on the global
+    arrays (sampler populations are small; this is what the single-device
+    stepping engine does too), so the full collector set — including the
+    host-side waste-free variance estimators — is supported.
+    """
+    from particles_tpu import collectors as col
+    from particles_tpu import core
+    from particles_tpu import resampling as rs
+    from particles_tpu import smc_samplers as ssp
+
+    if resampling not in ("systematic", "stratified", "multinomial"):
+        raise NotImplementedError(
+            f"run_shardmap_smc (sampler): resampling scheme {resampling!r} "
+            "is not supported under particle sharding")
+    if hasattr(fk, "maybe_exchange"):
+        raise NotImplementedError(
+            "run_shardmap_smc: SMC2 is not supported under particle "
+            "sharding yet (exchange-step replay + inner-filter key "
+            "payloads); run it single-device or shard the runs axis")
+    key = key if key is not None else jax.random.key(0)
+    D = int(mesh.shape[axis])
+    if N % D:
+        raise ValueError(f"N={N} not divisible by mesh axis size {D}")
+    Nloc = N // D
+    N0loc = fk.N0(Nloc)
+
+    summaries = col.Summaries(collect) if collect != "off" else None
+
+    def local_step0(fk, key):
+        with distctx.dist_context(axis, D):
+            return ssp._sampler_step0(fk, key, Nloc)
+
+    def local_step(fk, carry, t):
+        with distctx.dist_context(axis, D):
+            carry2, view = ssp._sampler_step(fk, carry, t, N, resampling,
+                                             ESSrmin)
+        return carry2, {"rs_flag": view.rs_flag, "loglt": view.loglt}
+
+    fk_spec = jax.tree_util.tree_map(lambda _: P(), fk)
+    carry_shapes = jax.eval_shape(
+        lambda fk_, k_: ssp._sampler_step0(fk_, k_, Nloc), fk, key)
+    carry_spec = _sampler_carry_specs(carry_shapes, N0loc, axis)
+
+    # key on the fk TREEDEF: the in_specs trees are structural, and fk
+    # aux-data (the move object) hashes by identity, so equal-config but
+    # distinct fk instances need their own wrapper (jit would retrace for
+    # them anyway — same behaviour as the single-device sampler cache)
+    ck = (jax.tree_util.tree_structure(fk), N, D, resampling, ESSrmin,
+          axis)
+    if ck not in _sampler_shard_cache:
+        f0 = _shard_map(local_step0, mesh, in_specs=(fk_spec, P()),
+                        out_specs=carry_spec)
+        f1 = _shard_map(local_step, mesh,
+                        in_specs=(fk_spec, carry_spec, P()),
+                        out_specs=(carry_spec, P()))
+        _sampler_shard_cache[ck] = (jax.jit(f0), jax.jit(f1))
+    jit_step0, jit_step = _sampler_shard_cache[ck]
+
+    hist = (ssp.SamplerHistory(store_history)
+            if store_history not in (False, None) else None)
+
+    import types
+
+    def make_view(t, carry, rs_flag, loglt):
+        wgts = rs.Weights(carry.lw)  # global arrays, global reductions
+        return core.StepView(
+            fk=fk, t=t, X=carry.X, Xp=carry.X, A=None, wgts=wgts,
+            aux=wgts, rs_flag=rs_flag, logLt=carry.logLt, loglt=loglt,
+            N=N, ESSrmin=ESSrmin)
+
+    with mesh:
+        carry = jit_step0(fk, key)
+    view = make_view(0, carry, jnp.asarray(False), carry.logLt)
+    col_states = None
+    if summaries is not None:
+        col_states, outs = summaries.init_step(view)
+        summaries.append_step(outs)
+    if hist is not None:
+        hist.save_step(0, view.X, view.wgts)
+    if verbose:
+        print(fk.summary_format(types.SimpleNamespace(
+            t=0, X=view.X, wgts=view.wgts, rs_flag=view.rs_flag)))
+
+    t = 1
+    while not fk.done(types.SimpleNamespace(t=t, X=carry.X)):
+        with mesh:
+            carry, small = jit_step(fk, carry, jnp.int32(t))
+        view = make_view(t, carry, small["rs_flag"], small["loglt"])
+        if summaries is not None:
+            col_states, outs = summaries.step(view, col_states)
+            summaries.append_step(outs)
+        if hist is not None:
+            hist.save_step(t, view.X, view.wgts)
+        if verbose:
+            print(fk.summary_format(types.SimpleNamespace(
+                t=t, X=view.X, wgts=view.wgts, rs_flag=view.rs_flag)))
+        t += 1
+
+    if summaries is not None:
+        summaries.finalize_lists()
+    return ShardedSamplerResult(
+        logLt=carry.logLt, X=carry.X, wgts=rs.Weights(carry.lw), t=t,
+        summaries=summaries, hist=hist)
+
+
 def run_shardmap_smc(fk, N, key=None, mesh=None, axis="particles",
                      resampling="systematic", ESSrmin=0.5, qmc=False,
                      collect=None, store_history=False):
@@ -353,6 +529,19 @@ def run_shardmap_smc(fk, N, key=None, mesh=None, axis="particles",
     """
     from particles_tpu import collectors as col
     from particles_tpu import core
+
+    if getattr(fk, "is_sampler", False):
+        # SMC samplers (IBIS / tempering / adaptive tempering) run through
+        # the sharded stepping engine: dynamic horizon + waste-free shape
+        # changes need per-step host control, not the one-scan program
+        if qmc:
+            raise NotImplementedError(
+                "run_shardmap_smc: qmc=True is not supported for SMC "
+                "samplers (the reference's SQMC path is a filter-engine "
+                "feature)")
+        return _run_shardmap_sampler(
+            fk, N, key, mesh, axis, resampling, ESSrmin, collect,
+            store_history)
 
     if qmc and (N & (N - 1)):
         raise NotImplementedError(

@@ -141,19 +141,20 @@ def dist_qmc_reorder(X, extras, axis, D):
     return jnp.stack(out[:d_dim], axis=1), out[d_dim:]
 
 
-def _merge_serve_fn(su_loc, cs_blk, Nloc):
+def _merge_serve_fn(su_loc, cs_blk, Mloc):
     """Serve function for one passing block: maps a payload (leading dim
-    Nloc) to ``Y[j] = X[min{k: su_loc[j] <= cs_blk[k]}]`` — the SQMC
-    inverse-CDF ancestor rule restricted to this block.  Phrased as the
-    engine's repeat-by-z (z = merge-rank counts), so it shares the
+    Nloc, the block's source count) to ``Y[j] = X[min{k: su_loc[j] <=
+    cs_blk[k]}]`` for the ``Mloc`` local sorted-uniform queries — the
+    SQMC inverse-CDF ancestor rule restricted to this block.  Phrased as
+    the engine's repeat-by-z (z = merge-rank counts), so it shares the
     Pallas visit-plan kernel; outputs whose ancestor is NOT in this block
     get a well-defined but irrelevant value (the caller masks them)."""
     from particles_tpu import ops
     from particles_tpu import resampling as rs
 
-    z = rs._merge_rank_counts(su_loc, cs_blk, Nloc)
-    z = rs._monotone_z(z).at[-1].set(Nloc)
-    return ops.serve_by_z(z, Nloc)
+    z = rs._merge_rank_counts(su_loc, cs_blk, Mloc)
+    z = rs._monotone_z(z).at[-1].set(Mloc)
+    return ops.serve_by_z(z, Mloc)
 
 
 def ring_merge_resample(x_loc, su_loc, W_loc, axis, D,
@@ -177,7 +178,8 @@ def ring_merge_resample(x_loc, su_loc, W_loc, axis, D,
     serve tiles exactly even under float32 reduction-order differences
     (cs is clamped to, and pinned at, its shard's boundary value).
     """
-    Nloc = su_loc.shape[0]
+    Mloc = su_loc.shape[0]      # output slots per shard (== Nloc for SQMC)
+    Nloc = W_loc.shape[0]       # source slots per shard
     d = jax.lax.axis_index(axis)
     cum_loc = jnp.cumsum(W_loc)
     all_s = jax.lax.all_gather(cum_loc[-1], axis)      # (D,) shard sums
@@ -194,5 +196,5 @@ def ring_merge_resample(x_loc, su_loc, W_loc, axis, D,
     return ring_serve(
         x_loc, cs_loc, Nloc,
         served_of=lambda e: (su_loc > B_ext[e]) & (su_loc <= B_ext[e + 1]),
-        rep_of=lambda cs_blk: _merge_serve_fn(su_loc, cs_blk, Nloc),
-        axis=axis, D=D, return_ancestors=return_ancestors)
+        rep_of=lambda cs_blk: _merge_serve_fn(su_loc, cs_blk, Mloc),
+        axis=axis, D=D, return_ancestors=return_ancestors, Mloc=Mloc)

@@ -404,6 +404,133 @@ def multinomial_iid(key, W, M=None):
     )
 
 
+def _serve_cols_prep(cols, N):
+    """Prepare payload columns for a fused kernel serve: f32 (and other
+    kernel-exact dtypes) pass through; int32 INDEX-valued columns (values
+    in [0, N), N < 2^24 — e.g. ancestor vectors) ride an exact f32 view.
+    Returns ``(prepped, restore)`` or ``None`` when some column cannot
+    route."""
+    from particles_tpu.ops import repeat_kernel as rk
+
+    if N >= (1 << 24):
+        return None
+    prepped, restore = [], []
+    for c in cols:
+        if c.ndim != 1 or c.shape[0] != N:
+            return None
+        if c.dtype == jnp.int32:
+            prepped.append(c.astype(jnp.float32))
+            restore.append(lambda y: y.astype(jnp.int32))
+        elif rk._leaf_routable(c, N):
+            prepped.append(c)
+            restore.append(lambda y: y)
+        else:
+            return None
+    return prepped, restore
+
+
+def take_sorted(idx, cols, _plan_cache=None):
+    """``[c[idx] for c in cols]`` for a SORTED (nondecreasing) int32
+    ``idx`` with ``len(idx) == len(c) == N``.
+
+    A gather with sorted indices IS an inverse-CDF serve — ``Y[j] =
+    X[i(j)]`` with ``i(j) = #{i: i < idx_j}`` — so it routes through the
+    su-mode repeat kernel on integer-valued streams (``su = idx + 0.5``,
+    ``cs = i + 1``; both exact f32 below 2^24, no ties by the half
+    offset): one fused pallas_call for ALL columns, versus one ~60M
+    elem/s random ``jnp.take`` per column (VERDICT r4 task 3 — the
+    FFBS backward pass's dominant cost).  Falls back to ``jnp.take``
+    (non-TPU, N not a 1024-multiple — the su-plan's padding assumes
+    cs <= 1 — unrouteable dtypes).
+    """
+    from particles_tpu import ops
+    from particles_tpu.ops import repeat_kernel as rk
+
+    N = idx.shape[0]
+    prep = _serve_cols_prep(cols, N)
+    if (prep is not None and rk._on_tpu() and N >= rk._C
+            and N % rk._C == 0):
+        prepped, restore = prep
+        su = idx.astype(jnp.float32) + jnp.float32(0.5)
+        cs = jnp.arange(1, N + 1, dtype=jnp.float32)
+        plan = ops.make_repeat_plan_su(su, cs, N)
+        if plan is not None:
+            served, _ = rk.repeat_with_plan_cols(plan, prepped)
+            return [r(y) for r, y in zip(restore, served)]
+    return [jnp.take(c, idx, axis=0) for c in cols]
+
+
+def take_by_sort(idx, cols):
+    """``[c[idx] for c in cols]`` for ARBITRARY int32 ``idx`` (len N ==
+    len(c)): sort the indices (carrying the unsort permutation), serve
+    all columns with ONE fused :func:`take_sorted` kernel call, route the
+    results back with a second multi-operand sort keyed on the
+    permutation.  All fast primitives — ``lax.sort`` is ~2 ms at N=2^20
+    where each random ``jnp.take`` is ~10 ms."""
+    from particles_tpu.ops import repeat_kernel as rk
+
+    N = idx.shape[0]
+    prep = _serve_cols_prep(cols, N)
+    if not (prep is not None and rk._on_tpu() and N >= rk._C
+            and N % rk._C == 0):
+        return [jnp.take(c, idx, axis=0) for c in cols]
+    prepped, restore = prep
+    iota = jnp.arange(N, dtype=jnp.int32)
+    sidx, perm = jax.lax.sort((idx, iota), num_keys=1)
+    served = take_sorted(sidx, prepped)
+    out = jax.lax.sort((perm,) + tuple(served), num_keys=1)
+    return [r(y) for r, y in zip(restore, out[1:])]
+
+
+def multinomial_iid_values(key, W, cols, M=None):
+    """:func:`multinomial_iid` PLUS the served values ``[c[A] for c in
+    cols]`` — the proposal indices and the proposed particle values in
+    one fused kernel call (the FFBS-MCMC proposal draw needs both; a
+    separate ``X[prop]`` gather would cost more than the whole draw).
+
+    Returns ``(A, values)``.  Realisation-equivalent to
+    ``A = multinomial_iid(key, W, M)`` followed by ``[jnp.take(c, A) for
+    c in cols]`` (the index stream is identical; values are served
+    through the same plan).
+    """
+    from particles_tpu import ops
+    from particles_tpu.ops import repeat_kernel as rk
+
+    M = W.shape[0] if M is None else M
+    N = W.shape[0]
+    u = jax.random.uniform(key, (M,))
+    prep = _serve_cols_prep(cols, N) if M == N else None
+    if prep is not None and rk._on_tpu() and M >= rk._C and N >= rk._C:
+        prepped, restore = prep
+        iota = jnp.arange(M, dtype=jnp.int32)
+        su, perm = jax.lax.sort((u, iota), num_keys=1)
+        cs, cs_mono = _normalised_cumsum_mono(W)
+        if cs_mono:
+            plan = ops.make_repeat_plan_su(
+                su, cs.at[-1].set(jnp.float32(1.0)), M)
+            if plan is not None:
+                served, anc_sorted = rk.repeat_with_plan_cols(
+                    plan, prepped, want_anc=True)
+                out = jax.lax.sort((perm, anc_sorted) + tuple(served),
+                                   num_keys=1)
+                return out[1], [r(y) for r, y in zip(restore, out[2:])]
+        # merge-rank fallback path: indices via the P=0 kernel, values
+        # via the same z-plan
+        z = _merge_rank_counts(su, cs, M)
+        z = z.at[-1].set(M)
+        if not cs_mono:
+            z = _monotone_z(z)
+        plan = ops.make_repeat_plan(z, M)
+        if plan is not None:
+            served, anc_sorted = rk.repeat_with_plan_cols(
+                plan, prepped, want_anc=True)
+            out = jax.lax.sort((perm, anc_sorted) + tuple(served),
+                               num_keys=1)
+            return out[1], [r(y) for r, y in zip(restore, out[2:])]
+    A = multinomial_iid(key, W, M)
+    return A, [jnp.take(c, A, axis=0) for c in cols]
+
+
 def multinomial_once(key, W):
     """A single draw from the categorical distribution W (resampling.py:574-596)."""
     u = jax.random.uniform(key, ())

@@ -36,9 +36,42 @@ import numpy as np
 
 from particles_tpu import collectors as col
 from particles_tpu import core
+from particles_tpu import distctx
 from particles_tpu import resampling as rs
 from particles_tpu import variance_mcmc
 from particles_tpu.utils.struct import Pytree
+
+
+def _gN(n):
+    """Global particle count for a local leading dim ``n`` (trace-time:
+    under a :mod:`particles_tpu.distctx` context arrays hold per-shard
+    slices, so counts multiply by the static shard count)."""
+    ctx = distctx.current()
+    return n * ctx.D if ctx is not None else n
+
+
+def _dist_mean(v):
+    """Mean over the (possibly sharded) particle axis."""
+    ctx = distctx.current()
+    if ctx is None:
+        return jnp.mean(v)
+    return jax.lax.psum(jnp.sum(v), ctx.axis) / (v.shape[0] * ctx.D)
+
+
+def _gather_global(v):
+    """The full global vector of a (possibly sharded) per-particle array.
+
+    Sampler steps need a handful of data-dependent scalar solves over all
+    particles (the adaptive-tempering bisection evaluates ESS ~60 times;
+    path sampling ~10 softmax reductions): ONE (N0,)-sized all-gather —
+    sampler populations are small (M*P ~ 1e3-1e5) — replaces ~100
+    latency-bound scalar all-reduces, and the solve then runs replicated
+    on every shard.
+    """
+    ctx = distctx.current()
+    if ctx is None:
+        return v
+    return jax.lax.all_gather(v, ctx.axis, tiled=True)
 
 __all__ = [
     "SamplerHistory",
@@ -405,7 +438,7 @@ class ArrayMetropolis(ArrayMCMC):
         lp_acc = jnp.where(jnp.isnan(lp_acc), -jnp.inf, lp_acc)
         pb_acc = jnp.exp(jnp.clip(lp_acc, None, 0.0))
         accept = jax.random.uniform(k2, (x.N,)) < pb_acc
-        return xprop.where(accept, x), jnp.mean(pb_acc)
+        return xprop.where(accept, x), _dist_mean(pb_acc)
 
 
 class ArrayRandomWalk(ArrayMetropolis):
@@ -585,7 +618,9 @@ class FKSMCsampler(core.FeynmanKac):
         return f"t={smc.t}{extra}, ESS={float(smc.wgts.ESS):.2f}"
 
     def time_to_resample(self, view):
-        return view.aux.ESS < view.X.N * view.ESSrmin
+        # X.N is the LOCAL leading dim under particle sharding; the ESS
+        # threshold compares against the global particle count
+        return view.aux.ESS < _gN(view.X.N) * view.ESSrmin
 
     # --- hooks used by the sampler engine ---
 
@@ -608,7 +643,9 @@ class IBIS(FKSMCsampler):
     def _M0(self, key, N0):
         th = dict(self.model.prior.rvs(key, size=N0))
         x = ThetaParticles(theta=th, lpost=self.model.prior.logpdf(th))
-        cal = self.move.calibrate(jnp.full(N0, 1.0 / N0), x)
+        # uniform weights normalised over the GLOBAL count (calibrate's
+        # moment reductions are dist-aware)
+        cal = self.move.calibrate(jnp.full(N0, 1.0 / _gN(N0)), x)
         return x.with_shared(acc_rate=jnp.float32(0.0), **cal)
 
     def move_target(self, t, x):
@@ -646,7 +683,7 @@ class Tempering(FKSMCsampler):
             llik=self.model.loglik(th),
         )
         x = x.replace(lpost=x.lprior)
-        cal = self.move.calibrate(jnp.full(N0, 1.0 / N0), x)
+        cal = self.move.calibrate(jnp.full(N0, 1.0 / _gN(N0)), x)
         return x.with_shared(
             exponent=jnp.float32(0.0),
             path_sampling=jnp.float32(0.0),
@@ -666,12 +703,16 @@ class Tempering(FKSMCsampler):
     def move_target(self, t, x):
         return self.current_target(x.shared["exponent"])
 
-    def _path_sampling_update(self, x, delta):
+    def _path_sampling_update(self, x, delta, llik_all=None):
         """Trapezoidal path-sampling accumulation over a 10-point grid
-        (reference smc_samplers.py:821-834)."""
+        (reference smc_samplers.py:821-834).
+
+        Under particle sharding ``llik_all`` is the pre-gathered GLOBAL
+        log-likelihood vector (one all-gather shared with the adaptive
+        solve), so the softmax reductions run replicated."""
         grid_size = 10
         binwidth = delta / (grid_size - 1)
-        llik = x.llik
+        llik = _gather_global(x.llik) if llik_all is None else llik_all
 
         # a zero-likelihood particle has llik = -inf and softmax weight 0;
         # sum(w * llik) would be 0 * -inf = NaN, poisoning the accumulator
@@ -687,10 +728,10 @@ class Tempering(FKSMCsampler):
         inc = jax.lax.fori_loop(0, grid_size, body, jnp.float32(0.0))
         return x.shared["path_sampling"] + inc
 
-    def _logG_tempering(self, x, delta, new_epn):
+    def _logG_tempering(self, x, delta, new_epn, llik_all=None):
         dl = delta * x.llik
         dl = jnp.where(jnp.isnan(dl), -jnp.inf, dl)
-        ps = self._path_sampling_update(x, delta)
+        ps = self._path_sampling_update(x, delta, llik_all=llik_all)
         x = x.replace(lpost=x.lpost + dl)
         x = x.with_shared(exponent=new_epn, path_sampling=ps)
         return dl, x
@@ -704,7 +745,11 @@ class Tempering(FKSMCsampler):
 def next_annealing_epn(epn, alpha, lw):
     """Next tempering exponent such that ESS(e*lw) = alpha*N, by
     fixed-iteration bisection over the increment (the jittable version of
-    the reference's Brent solve, smc_samplers.py:876-895)."""
+    the reference's Brent solve, smc_samplers.py:876-895).
+
+    ``lw`` must be the FULL log-likelihood vector: under particle
+    sharding, callers gather it once (:func:`_gather_global`) so the ~60
+    ESS evaluations of the bisection run replicated, collective-free."""
     N = lw.shape[0]
     lw = jnp.where(jnp.isnan(lw), -jnp.inf, lw)
 
@@ -752,8 +797,12 @@ class AdaptiveTempering(Tempering):
 
     def logG_and_update(self, t, x):
         epn = x.shared["exponent"]
-        new_epn = next_annealing_epn(epn, self.ESSrmin, x.llik)
-        return self._logG_tempering(x, new_epn - epn, new_epn)
+        # one all-gather serves both the ~60-evaluation ESS bisection and
+        # the path-sampling grid (replicated identically on every shard)
+        llik_all = _gather_global(x.llik)
+        new_epn = next_annealing_epn(epn, self.ESSrmin, llik_all)
+        return self._logG_tempering(x, new_epn - epn, new_epn,
+                                    llik_all=llik_all)
 
 
 # ---------------------------------------------------------------------------
@@ -761,7 +810,13 @@ class AdaptiveTempering(Tempering):
 # ---------------------------------------------------------------------------
 
 def _sampler_step0(fk, key, N):
+    """Initial sampler step.  Under a :mod:`particles_tpu.distctx`
+    context ``N`` is the per-shard slice of the user N (prior draws get a
+    shard-folded key; the carry key stays replicated)."""
+    dctx = distctx.current()
     k0, knext = jax.random.split(key)
+    if dctx is not None:
+        k0 = jax.random.fold_in(k0, jax.lax.axis_index(dctx.axis))
     X = fk.M0(k0, N)
     G, X = fk.logG_and_update(0, X)
     wgts = rs.Weights(G)
@@ -778,10 +833,40 @@ def _sampler_step(fk, carry, t, N, resampling_scheme, ESSrmin):
     Waste-free shape change (reference core.py:329-331): X carries N0 = M*P
     particles; resampling picks M = N starting points; the move expands back
     to N0.
+
+    Under a :mod:`particles_tpu.distctx` context (shard_map execution) the
+    SAME step runs per shard on local slices: ``N`` stays the GLOBAL
+    resample size, the weight/moment reductions are collectives (the
+    dist-aware numerics layer), the resample becomes the ring
+    redistribution serving N0loc -> N/D local outputs (the waste-free
+    shape change rides :func:`particles_tpu.parallel.distributed.
+    ring_serve`'s ``Mloc``), the chain moves run embarrassingly
+    particle-parallel with shard-folded keys, and the adaptive-tempering
+    solve gathers the llik vector once (see :func:`_gather_global`).
+    The carry key stays replicated (it feeds the shared resampling
+    uniforms and the branch predicate).
     """
+    dctx = distctx.current()
     X, lw = carry.X, carry.lw
     N0 = X.N
     key, k_rs, k_mv = jax.random.split(carry.key, 3)
+    if dctx is not None:
+        if resampling_scheme not in ("systematic", "stratified",
+                                     "multinomial"):
+            raise NotImplementedError(
+                f"resampling scheme {resampling_scheme!r} is not supported "
+                "under particle sharding (rings exist for systematic/"
+                "stratified z-forms and the multinomial sorted-uniform "
+                "merge)")
+        if hasattr(fk, "maybe_exchange"):
+            raise NotImplementedError(
+                "SMC2 is not supported under particle sharding yet (the "
+                "exchange step's host-side replay and the inner-filter key "
+                "payloads need dedicated plumbing); run it single-device "
+                "or shard the runs axis")
+        # chain-move proposals must be independent across shards; the
+        # resampling key k_rs stays replicated (shared ring uniforms)
+        k_mv = jax.random.fold_in(k_mv, jax.lax.axis_index(dctx.axis))
     wgts = rs.Weights(lw)
 
     view = core.StepView(
@@ -793,8 +878,25 @@ def _sampler_step(fk, carry, t, N, resampling_scheme, ESSrmin):
     def do_resample_move(X, lw):
         cal = fk.move.calibrate(wgts.W, X)
         Xc = X.with_shared(**cal)
-        counts = rs.resampling_counts(resampling_scheme, k_rs, wgts.W, M=N)
-        Xres = Xc.subset_by_counts(counts, N)
+        if dctx is None:
+            counts = rs.resampling_counts(resampling_scheme, k_rs, wgts.W,
+                                          M=N)
+            Xres = Xc.subset_by_counts(counts, N)
+        else:
+            from particles_tpu.parallel import distributed as dist
+
+            fields = Xc._particle_fields()
+            if resampling_scheme == "systematic":
+                u = jax.random.uniform(k_rs, ())
+                served = dist.ring_systematic_resample(
+                    fields, wgts.lw, u, N, dctx.axis, dctx.D)
+            elif resampling_scheme == "stratified":
+                served = dist.ring_stratified_resample(
+                    fields, wgts.lw, k_rs, N, dctx.axis, dctx.D)
+            else:  # multinomial (checked at trace time above)
+                served = dist.ring_multinomial_resample(
+                    fields, wgts.lw, k_rs, N, dctx.axis, dctx.D)
+            Xres = ThetaParticles(shared=dict(Xc.shared), **served)
         target = fk.move_target(t, Xc)
         Xmoved = fk.move(k_mv, Xres, target)
         return Xmoved, jnp.zeros(N0, lw.dtype)

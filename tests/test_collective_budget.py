@@ -180,3 +180,74 @@ class TestGspmdBudget:
         assert len(census["all-reduce"]) == 10, census["all-reduce"]
         assert len(census["collective-permute"]) == 20, \
             census["collective-permute"]
+
+
+class TestSamplerShardMapBudget:
+    """Round 5 (VERDICT r4 task 1): census of ONE sharded sampler step
+    (AdaptiveTempering, waste-free, d=1 conjugate target).
+
+    Design budget: two Weights reductions + calibrate moments +
+    per-MCMC-move acceptance means, ALL scalar; exactly TWO all-gathers
+    — the (D,) ring shard-sum table and the ONE (N0,) llik gather that
+    replaces ~120 latency-bound scalar all-reduces of the adaptive
+    exponent bisection + path-sampling grid; ring traffic = 5 permutes
+    per hop (z block + the 4 ThetaParticles leaves of this model), each
+    N0/D-sized; no all-to-all.  Note collectives inside the P-1-step
+    MCMC lax.scan appear ONCE in the lowered text (one scan region).
+    """
+
+    def test_adaptive_tempering_step_census(self, fk_mesh):
+        _, mesh = fk_mesh
+        import particles_tpu.smc_samplers as ssp
+        from particles_tpu import distributions as dists
+
+        class GaussTarget(ssp.StaticModel):
+            def logpyt(self, theta, t):
+                return (-0.5 * jnp.log(2 * jnp.pi)
+                        - 0.5 * (self.data[t] - theta["m"]) ** 2)
+
+        rng = np.random.default_rng(0)
+        dat = jnp.asarray(rng.normal(size=10), jnp.float32)
+        prior = dists.StructDist({"m": dists.Normal(scale=2.0)})
+        model = GaussTarget(data=dat, prior=prior)
+        fk = ssp.AdaptiveTempering(model=model, len_chain=10)
+        Ns = 128
+        Nloc = Ns // D
+        N0loc = fk.N0(Nloc)
+
+        def local_step(fk, carry, t):
+            with distctx.dist_context("particles", D):
+                carry2, view = ssp._sampler_step(
+                    fk, carry, t, Ns, "systematic", 0.5)
+            return carry2, {"rs_flag": view.rs_flag, "loglt": view.loglt}
+
+        key = jax.random.key(0)
+        carry_shapes = jax.eval_shape(
+            lambda f, k: ssp._sampler_step0(f, k, Nloc), fk, key)
+        carry_spec = dist._sampler_carry_specs(
+            carry_shapes, N0loc, "particles")
+        fk_spec = jax.tree_util.tree_map(lambda _: P(), fk)
+        f0 = dist._shard_map(
+            lambda fk, k: ssp._sampler_step0(fk, k, Nloc), mesh,
+            in_specs=(fk_spec, P()), out_specs=carry_spec)
+        f = dist._shard_map(
+            local_step, mesh, in_specs=(fk_spec, carry_spec, P()),
+            out_specs=(carry_spec, P()))
+        with mesh:
+            carry = jax.jit(f0)(fk, key)
+            txt = jax.jit(f).lower(fk, carry, jnp.int32(1)).as_text()
+        c = _stablehlo_census(txt)
+        assert c["all_to_all"] == []
+        # scalar-only all-reduces, pinned count (update CONSCIOUSLY)
+        assert all(a == 1 and b == 1 for a, b in c["all_reduce"]), \
+            c["all_reduce"]
+        assert len(c["all_reduce"]) == 8, c["all_reduce"]
+        # exactly two all-gathers: (D,) table + ONE (N0loc -> N0) llik
+        assert sorted(c["all_gather"]) == [
+            (1, D), (N0loc, N0loc * D)], c["all_gather"]
+        # ring: 5 permutes/hop (z + 4 leaves), N0loc-sized, last hop DCE'd
+        assert all(a == N0loc and b == N0loc
+                   for a, b in c["collective_permute"]), \
+            c["collective_permute"]
+        assert len(c["collective_permute"]) == 5 * (D - 1), \
+            len(c["collective_permute"])

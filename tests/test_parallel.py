@@ -540,3 +540,224 @@ class TestRingSchemes:
                 resampling=scheme)
             assert abs(float(res.logLt) - exact) < 0.6, (
                 scheme, float(res.logLt), exact)
+
+
+class TestShardedSamplers:
+    """Round 5 (VERDICT r4 task 1): the SMC-sampler stack on the mesh —
+    ``run_shardmap_smc`` routes ``is_sampler`` FKs through the sharded
+    stepping engine (waste-free M*P -> M ring resample, particle-parallel
+    chain moves, gathered adaptive-tempering solve)."""
+
+    def _mesh(self):
+        return parallel.make_mesh(8, ("particles",))
+
+    @staticmethod
+    def _conjugate_model(T=40):
+        """Gaussian location target with closed-form evidence."""
+        from particles_tpu import distributions as dists
+        from particles_tpu import smc_samplers as ssp
+
+        class GaussTarget(ssp.StaticModel):
+            def logpyt(self, theta, t):
+                return (-0.5 * jnp.log(2 * jnp.pi)
+                        - 0.5 * (self.data[t] - theta["m"]) ** 2)
+
+        rng = np.random.default_rng(0)
+        dat = jnp.asarray(rng.normal(loc=0.7, size=T), jnp.float32)
+        prior = dists.StructDist({"m": dists.Normal(scale=2.0)})
+        model = GaussTarget(data=dat, prior=prior)
+        tau2 = 4.0
+        C = np.eye(T) + tau2 * np.ones((T, T))
+        _, ld = np.linalg.slogdet(C)
+        yv = np.asarray(dat, np.float64)
+        exact = (-0.5 * T * np.log(2 * np.pi) - 0.5 * ld
+                 - 0.5 * yv @ np.linalg.inv(C) @ yv)
+        return model, float(exact)
+
+    def test_ring_waste_free_shape_change_exact(self):
+        """M != N ring serve (the waste-free resample): bit-matches the
+        single-device z-form with the same uniform."""
+        from jax.sharding import PartitionSpec as P
+        from particles_tpu.parallel import distributed as dist
+        from particles_tpu import resampling as rs
+        from particles_tpu.ops import repeat_by_z
+
+        mesh = self._mesh()
+        N0, M, D = 4096, 512, 8
+        rng = np.random.default_rng(5)
+        lw = jnp.asarray(rng.normal(size=N0), jnp.float32)
+        x = jnp.asarray(rng.normal(size=N0), jnp.float32)
+        u = jnp.float32(0.61)
+
+        def local(xloc, lwloc):
+            return dist.ring_systematic_resample(
+                {"a": xloc}, lwloc, u, M, "particles", D)["a"]
+
+        f = dist._shard_map(
+            local, mesh, in_specs=(P("particles"), P("particles")),
+            out_specs=P("particles"))
+        with mesh:
+            got = jax.jit(f)(x, lw)
+        assert got.shape == (M,)
+        W = rs.exp_and_normalise(lw)
+        cs = jnp.cumsum(W)
+        cs = cs / cs[-1]
+        z = jnp.clip(jnp.floor(M * cs - u).astype(jnp.int32) + 1, 0, M)
+        z = z.at[-1].set(M)
+        z = jax.lax.associative_scan(jnp.maximum, z)
+        want = repeat_by_z(x, z, M)
+        assert int(jnp.sum(got != want)) == 0
+
+    def test_adaptive_tempering_matches_exact_evidence(self):
+        from particles_tpu import smc_samplers as ssp
+
+        model, exact = self._conjugate_model()
+        mesh = self._mesh()
+        vals, nsteps = [], []
+        for s in range(3):
+            fk = ssp.AdaptiveTempering(model=model, len_chain=10)
+            res = parallel.run_shardmap_smc(
+                fk, N=128, key=jax.random.key(s), mesh=mesh)
+            vals.append(float(res.logLt))
+            nsteps.append(res.t)
+            assert float(res.X.shared["exponent"]) >= 1.0
+        assert abs(np.mean(vals) - exact) < 0.8, (vals, exact)
+        # the adaptive path matches the single-device engine's step count
+        pf = particles.SMC(
+            fk=ssp.AdaptiveTempering(model=model, len_chain=10),
+            N=128, key=jax.random.key(0))
+        pf.run()
+        assert pf.t in nsteps or abs(pf.t - nsteps[0]) <= 1
+
+    def test_ibis_matches_exact_evidence_and_collectors(self):
+        from particles_tpu import collectors as col
+        from particles_tpu import smc_samplers as ssp
+
+        model, exact = self._conjugate_model()
+        mesh = self._mesh()
+        fk = ssp.IBIS(model=model, len_chain=10)
+        res = parallel.run_shardmap_smc(
+            fk, N=128, key=jax.random.key(1), mesh=mesh,
+            collect=[col.Moments()], store_history=True)
+        assert abs(float(res.logLt) - exact) < 1.0
+        T = model.T
+        assert len(res.summaries.ESSs) == T
+        assert len(res.summaries.moments) == T
+        post_mean = float(res.summaries.moments[-1]["mean"]["m"])
+        # exact posterior mean of m: tau2/(T*tau2+1) * sum(y)
+        want = 4.0 * float(np.sum(np.asarray(model.data))) / (T * 4.0 + 1.0)
+        assert abs(post_mean - want) < 0.2, (post_mean, want)
+        assert res.hist.T == T
+
+    def test_sampler_resampling_schemes(self):
+        from particles_tpu import smc_samplers as ssp
+
+        model, exact = self._conjugate_model()
+        mesh = self._mesh()
+        for scheme in ("stratified", "multinomial"):
+            fk = ssp.AdaptiveTempering(model=model, len_chain=10)
+            res = parallel.run_shardmap_smc(
+                fk, N=128, key=jax.random.key(4), mesh=mesh,
+                resampling=scheme)
+            assert abs(float(res.logLt) - exact) < 1.2, (
+                scheme, float(res.logLt), exact)
+
+    def test_sampler_documented_raises(self):
+        from particles_tpu import distributions as dists
+        from particles_tpu import smc_samplers as ssp
+        from particles_tpu import state_space_models as ssms
+
+        model, _ = self._conjugate_model()
+        mesh = self._mesh()
+        fk = ssp.AdaptiveTempering(model=model, len_chain=10)
+        with pytest.raises(NotImplementedError, match="resampling"):
+            parallel.run_shardmap_smc(fk, N=128, mesh=mesh,
+                                      resampling="ssp")
+        with pytest.raises(NotImplementedError, match="qmc"):
+            parallel.run_shardmap_smc(fk, N=128, mesh=mesh, qmc=True)
+        prior = dists.StructDist({"mu": dists.Normal(scale=1.0)})
+        fk2 = ssp.SMC2(ssm_cls=ssms.StochVol, prior=prior,
+                       data=np.zeros(5, np.float32), init_Nx=8)
+        with pytest.raises(NotImplementedError, match="SMC2"):
+            parallel.run_shardmap_smc(fk2, N=64, mesh=mesh)
+
+
+class TestChainsTimesDevices:
+    """Round 5 (VERDICT r4 task 4): nchains sharded over the mesh's
+    chain axis — per-chain results must match the vmapped single-device
+    path to ulp-level tolerance (chains are independent and consume the
+    identical key streams; GSPMD only changes placement, but XLA's
+    per-partition codegen may reassociate within-chain reductions by an
+    ulp)."""
+
+    def test_multichain_pmmh_sharded_matches_vmapped(self):
+        from particles_tpu import distributions as dists
+        from particles_tpu import mcmc
+        from particles_tpu import state_space_models as ssms
+
+        true = ssms.StochVol(mu=-1.0, rho=0.9, sigma=0.3)
+        _, y = true.simulate(jax.random.key(0), 20)
+        prior = dists.StructDist({
+            "mu": dists.Normal(scale=2.0),
+            "rho": dists.Uniform(a=-0.99, b=0.99),
+            "sigma": dists.Gamma(a=2.0, b=4.0),
+        })
+        kw = dict(ssm_cls=ssms.StochVol, prior=prior, data=y, Nx=24,
+                  niter=30, nchains=8, key=jax.random.key(1))
+        m_ref = mcmc.PMMH(**kw)
+        m_ref.run()
+        mesh = parallel.make_mesh(8, ("chains",))
+        m_sh = mcmc.PMMH(mesh=mesh, **kw)
+        m_sh.run()
+        for p in m_ref.chain.theta:
+            np.testing.assert_allclose(
+                np.asarray(m_ref.chain.theta[p]),
+                np.asarray(m_sh.chain.theta[p]), rtol=2e-5, atol=2e-5,
+                err_msg=p)
+        # same accept/reject path (an ulp flip would diverge the chains)
+        np.testing.assert_array_equal(np.asarray(m_ref.nacc),
+                                      np.asarray(m_sh.nacc))
+
+    def test_multichain_rwhm_sharded(self):
+        from particles_tpu import distributions as dists
+        from particles_tpu import smc_samplers as ssp
+        from particles_tpu import mcmc
+
+        class GaussTarget(ssp.StaticModel):
+            def logpyt(self, theta, t):
+                return (-0.5 * jnp.log(2 * jnp.pi)
+                        - 0.5 * (self.data[t] - theta["m"]) ** 2)
+
+        rng = np.random.default_rng(3)
+        dat = jnp.asarray(rng.normal(size=30), jnp.float32)
+        prior = dists.StructDist({"m": dists.Normal(scale=2.0)})
+        model = GaussTarget(data=dat, prior=prior)
+        mesh = parallel.make_mesh(8, ("chains",))
+        m = mcmc.BasicRWHM(model=model, niter=200, nchains=8, mesh=mesh,
+                           key=jax.random.key(2))
+        m.run()
+        dg = m.diagnostics()
+        assert np.isfinite(dg["m"]["ess"])
+        # posterior mean sanity vs the conjugate posterior
+        T = 30
+        want = 4.0 * float(np.sum(np.asarray(dat))) / (T * 4.0 + 1.0)
+        got = float(np.mean(np.asarray(m.chain.theta["m"])[50:]))
+        assert abs(got - want) < 0.2, (got, want)
+
+    def test_nchains_not_divisible_raises(self):
+        from particles_tpu import distributions as dists
+        from particles_tpu import smc_samplers as ssp
+        from particles_tpu import mcmc
+
+        class GaussTarget(ssp.StaticModel):
+            def logpyt(self, theta, t):
+                return -0.5 * (self.data[t] - theta["m"]) ** 2
+
+        dat = jnp.zeros(5, jnp.float32)
+        prior = dists.StructDist({"m": dists.Normal(scale=2.0)})
+        model = GaussTarget(data=dat, prior=prior)
+        mesh = parallel.make_mesh(8, ("chains",))
+        m = mcmc.BasicRWHM(model=model, niter=10, nchains=3, mesh=mesh,
+                           key=jax.random.key(2))
+        with pytest.raises(ValueError, match="divisible"):
+            m.run()

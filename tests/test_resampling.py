@@ -939,3 +939,84 @@ class TestBlockedSSP:
         c = np.asarray(rs.resampling_counts("ssp", jax.random.key(2), W,
                                             M=N))
         assert c[1234] == N and c.sum() == N
+
+
+class TestSortedGatherServes(TestMultinomialIIDFastPath):
+    """Round 5 (VERDICT r4 task 3): the gather-elimination helpers behind
+    the FFBS backward pass — ``take_sorted`` (sorted-index gather as an
+    inverse-CDF serve), ``take_by_sort`` (sort-serve-unsort for arbitrary
+    indices) and ``multinomial_iid_values`` (proposal indices + served
+    values in one kernel call).  Interpret-mode kernels vs jnp.take
+    oracles.  Inherits the patch/restore machinery."""
+
+    def test_take_sorted_exact(self):
+        import jax
+
+        origs = self._patched()
+        try:
+            N = 2048
+            rng = np.random.default_rng(0)
+            idx = np.sort(rng.integers(0, N, size=N)).astype(np.int32)
+            x = jnp.asarray(rng.normal(size=N), jnp.float32)
+            a = jnp.asarray(rng.integers(0, N, size=N), jnp.int32)
+            got = rs.take_sorted(jnp.asarray(idx), [x, a])
+            np.testing.assert_array_equal(np.asarray(got[0]),
+                                          np.asarray(x)[idx])
+            np.testing.assert_array_equal(np.asarray(got[1]),
+                                          np.asarray(a)[idx])
+            assert got[1].dtype == jnp.int32
+        finally:
+            self._restore(origs)
+
+    def test_take_by_sort_exact(self):
+        origs = self._patched()
+        try:
+            N = 2048
+            rng = np.random.default_rng(1)
+            idx = rng.integers(0, N, size=N).astype(np.int32)  # unsorted
+            x = jnp.asarray(rng.normal(size=N), jnp.float32)
+            a = jnp.asarray(rng.integers(0, N, size=N), jnp.int32)
+            got = rs.take_by_sort(jnp.asarray(idx), [x, a])
+            np.testing.assert_array_equal(np.asarray(got[0]),
+                                          np.asarray(x)[idx])
+            np.testing.assert_array_equal(np.asarray(got[1]),
+                                          np.asarray(a)[idx])
+        finally:
+            self._restore(origs)
+
+    def test_multinomial_iid_values_matches_indices(self):
+        import jax
+
+        origs = self._patched()
+        try:
+            N = 2048
+            rng = np.random.default_rng(2)
+            W = rs.exp_and_normalise(
+                jnp.asarray(2.0 * rng.normal(size=N), jnp.float32))
+            x = jnp.asarray(rng.normal(size=N), jnp.float32)
+            key = jax.random.key(5)
+            A_plain = np.asarray(rs.multinomial_iid(key, W))
+            A, vals = rs.multinomial_iid_values(key, W, [x])
+            np.testing.assert_array_equal(np.asarray(A), A_plain)
+            np.testing.assert_array_equal(np.asarray(vals[0]),
+                                          np.asarray(x)[A_plain])
+        finally:
+            self._restore(origs)
+
+    def test_fallbacks_off_tpu(self):
+        """Without the TPU route the helpers are plain gathers."""
+        N = 300  # not a 1024-multiple: never routes
+        rng = np.random.default_rng(3)
+        idx = rng.integers(0, N, size=N).astype(np.int32)
+        x = jnp.asarray(rng.normal(size=N), jnp.float32)
+        got = rs.take_by_sort(jnp.asarray(idx), [x])
+        np.testing.assert_array_equal(np.asarray(got[0]),
+                                      np.asarray(x)[idx])
+        key = jax.random.key(1)
+        W = rs.exp_and_normalise(jnp.asarray(rng.normal(size=N),
+                                             jnp.float32))
+        A, vals = rs.multinomial_iid_values(key, W, [x], M=128)
+        np.testing.assert_array_equal(
+            np.asarray(A), np.asarray(rs.multinomial_iid(key, W, 128)))
+        np.testing.assert_array_equal(np.asarray(vals[0]),
+                                      np.asarray(x)[np.asarray(A)])
