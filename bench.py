@@ -381,6 +381,9 @@ def measure_device():
         model = LogisticRegression(data=data, prior=prior)
 
         def run_tempering():
+            # a FRESH fk per run is the user shape; since round 5 move
+            # objects hash by value, so equal configs share the jitted
+            # sampler steps (no retrace — this was the round-4 drift)
             fk = ssp.AdaptiveTempering(model=model, len_chain=30,
                                        ESSrmin=0.5)
             pf = particles.SMC(fk=fk, N=100, key=jax.random.key(0))
@@ -389,10 +392,15 @@ def measure_device():
 
         logev = run_tempering()          # compile all adaptive steps
         assert np.isfinite(logev)
-        t0 = time.perf_counter()
-        logev = run_tempering()          # same key: pure execution
-        el_t = time.perf_counter() - t0
+        # best-of-3 value-forced re-runs + recorded spread (VERDICT r4
+        # task 5: single-shot sampler timings wobbled 20-27%)
+        els = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            logev = run_tempering()      # same key: pure execution
+            els.append(time.perf_counter() - t0)
         assert np.isfinite(logev)
+        el_t, sp_t = min(els), max(els) - min(els)
 
         # --- one PMMH chain: StochVol, Nx=100, 3000 iterations ---
         T_pm, Nx, niter = 200, 100, 3000
@@ -404,25 +412,31 @@ def measure_device():
             "sigma": dists.Gamma(a=2.0, b=4.0),
         })
 
-        def run_pmmh():
-            m = mcmc.PMMH(ssm_cls=ssms.StochVol, prior=prior_pm, data=y,
-                          Nx=Nx, niter=niter, key=jax.random.key(1))
-            m.run()
-            return m
-
-        m = run_pmmh()                   # compile the chunked chain scans
-        t0 = time.perf_counter()
-        m = run_pmmh()                   # re-execute (cached compiles)
-        el_p = time.perf_counter() - t0
+        # ONE PMMH object, re-run: the jitted chain runner is cached on
+        # the instance (a fresh object per run would recompile the whole
+        # nested chain scan inside the timed region)
+        m = mcmc.PMMH(ssm_cls=ssms.StochVol, prior=prior_pm, data=y,
+                      Nx=Nx, niter=niter, key=jax.random.key(1))
+        m.run()                          # compile the chunked chain scans
+        els = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            m.run()                      # re-execute (cached compiles)
+            els.append(time.perf_counter() - t0)
+        el_p, sp_p = min(els), max(els) - min(els)
         acc = float(m.acc_rate)
         assert 0.0 < acc < 0.9, acc
         return {
             "tempering_pima_wastefree_s": round(el_t, 3),
+            "tempering_spread_s": round(sp_t, 3),
             "tempering_config": "Pima logistic, N=100 len_chain=30, "
-                                "adaptive (ref: smc_samplers defaults)",
+                                "adaptive (ref: smc_samplers defaults); "
+                                "best of 3",
             "pmmh_stochvol_3k_s": round(el_p, 3),
+            "pmmh_spread_s": round(sp_p, 3),
             "pmmh_config": f"StochVol T={T_pm} Nx={Nx} niter={niter} "
-                           "(ref pmmh studies: >10h for 1e5 iters)",
+                           "(ref pmmh studies: >10h for 1e5 iters); "
+                           "best of 3",
             "pmmh_acc_rate": round(acc, 3),
         }
 
@@ -511,23 +525,30 @@ def measure_device():
             "sigma": dists.Gamma(a=2.0, b=4.0),
         })
 
-        def run_mc():
-            m = mcmc.PMMH(ssm_cls=ssms.StochVol, prior=prior_pm, data=y,
-                          Nx=Nx, niter=niter, nchains=nc,
-                          key=jax.random.key(1))
-            m.run()
-            return m
-
-        m = run_mc()                     # compile the vmapped chain scans
+        # ONE PMMH object, re-run (instance-cached jitted runner): round
+        # 4's fresh-object-per-run timed a full retrace+recompile of the
+        # vmapped chain scan — the main source of the reported 4.5x
+        m = mcmc.PMMH(ssm_cls=ssms.StochVol, prior=prior_pm, data=y,
+                      Nx=Nx, niter=niter, nchains=nc,
+                      key=jax.random.key(1))
         t0 = time.perf_counter()
-        m = run_mc()                     # re-execute (cached compiles)
-        el = time.perf_counter() - t0
+        m.run()                          # compile the vmapped chain scans
+        el_first = time.perf_counter() - t0
+        els = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            m.run()                      # re-execute (cached compiles)
+            els.append(time.perf_counter() - t0)
+        el, sp = min(els), max(els) - min(els)
         acc = np.asarray(m.acc_rate)
         assert (acc > 0.0).all() and (acc < 0.9).all(), acc
         return {
             "pmmh_multichain_s": round(el, 3),
+            "pmmh_multichain_spread_s": round(sp, 3),
+            "pmmh_multichain_first_run_s": round(el_first, 3),
             "pmmh_multichain_config": f"{nc} vmapped chains, StochVol "
-                                      f"T={T_pm} Nx={Nx} niter={niter}",
+                                      f"T={T_pm} Nx={Nx} niter={niter}; "
+                                      "best of 3",
             "pmmh_multichain_acc": [round(float(a), 3) for a in acc],
         }
 
@@ -574,16 +595,23 @@ def measure_device():
         t0 = time.perf_counter()
         pf = run_smc2()                  # compile + execute
         el_first = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        pf = run_smc2()                  # same key: pure execution
-        el = time.perf_counter() - t0
+        els = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pf = run_smc2()              # same key: pure execution
+            els.append(time.perf_counter() - t0)
+        el, sp = min(els), max(els) - min(els)
         assert np.isfinite(float(pf.logLt))
         return {
             "smc2_stochvol_leverage_s": round(el, 3),
+            "smc2_spread_s": round(sp, 3),
             "smc2_first_run_s": round(el_first, 3),
             "smc2_config": "Ntheta=1000 T=751 init_Nx=100 len_chain=4 "
                            f"final_Nx={int(pf.X.xs.shape[1])} "
-                           "(ref quotes ~2h per run, single core)",
+                           "(ref quotes ~2h per run, single core); "
+                           "best of 2 re-runs; first_run includes "
+                           "compile (persistent cache warms it across "
+                           "processes)",
         }
 
     try:
@@ -593,7 +621,24 @@ def measure_device():
     return out
 
 
+def _enable_persistent_cache():
+    """JAX persistent compilation cache (VERDICT r4 task 9): warms
+    first-run compiles across bench processes — SMC²'s ~57 s adaptive-path
+    compile is repaid once per config change instead of once per run."""
+    import jax
+
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # noqa: BLE001 — older jax spellings; cache optional
+        pass
+
+
 def main():
+    _enable_persistent_cache()
     baseline = get_cpu_baseline()
     try:
         anatomy = measure_device()

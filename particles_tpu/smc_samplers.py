@@ -402,7 +402,26 @@ class ImportanceSampler:
 
 class ArrayMCMC(Pytree):
     """Base class for one MCMC step applied to all particles at once
-    (reference smc_samplers.py:553-592)."""
+    (reference smc_samplers.py:553-592).
+
+    Value-based equality/hash: move objects ride Feynman-Kac pytrees as
+    STATIC aux-data (they are callable), so without these two fresh but
+    identically-configured FK instances get unequal treedefs and every
+    jit boundary retraces — a full recompile per ``SMC(fk=Tempering(...))``
+    construction.  Configs are plain scalars/None, so dict comparison is
+    the right notion.
+    """
+
+    def __eq__(self, other):
+        return (type(self) is type(other)
+                and self.__dict__ == other.__dict__)
+
+    def __hash__(self):
+        try:
+            return hash((type(self),
+                         tuple(sorted(self.__dict__.items()))))
+        except TypeError:
+            return hash(type(self))
 
     def calibrate(self, W, x):
         """Return a dict of shared-state updates tuned on the weighted cloud."""
@@ -484,11 +503,21 @@ class ArrayIndependentMetropolis(ArrayMetropolis):
 
 
 class MCMCSequence(Pytree):
-    """A fixed-length sequence of MCMC steps (reference smc_samplers.py:655-667)."""
+    """A fixed-length sequence of MCMC steps (reference smc_samplers.py:655-667).
+
+    Value-based equality/hash for the same reason as :class:`ArrayMCMC`
+    (move objects are static aux-data of FK pytrees)."""
 
     def __init__(self, mcmc=None, len_chain=10):
         self.mcmc = ArrayRandomWalk() if mcmc is None else mcmc
         self.nsteps = len_chain - 1
+
+    def __eq__(self, other):
+        return (type(self) is type(other)
+                and self.__dict__ == other.__dict__)
+
+    def __hash__(self):
+        return hash((type(self), self.nsteps, self.__dict__.get("mcmc")))
 
     def calibrate(self, W, x):
         return self.mcmc.calibrate(W, x)
