@@ -10,6 +10,7 @@ from particles_tpu.ops.guard import no_pallas, pallas_allowed  # noqa: F401
 from particles_tpu.ops.merge_rank_kernel import merge_rank_counts  # noqa: F401
 from particles_tpu.ops.repeat_kernel import (  # noqa: F401
     ancestors_by_z,
+    dense_ancestors_by_z,
     make_repeat_plan,
     make_repeat_plan_su,
     repeat_by_counts,

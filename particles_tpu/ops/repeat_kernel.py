@@ -494,6 +494,31 @@ def repeat_by_z(x, z, M):
     return serve_by_z(z, M)(x)
 
 
+# Element gate (N*M) for the DENSE small-N serve: below it the fallback
+# serve is a broadcast compare-count ancestor vector + `jnp.take` instead
+# of counts + `jnp.repeat`.  Identical outputs; chosen because `jnp.repeat`
+# BATCHES CATASTROPHICALLY under vmap — the multichain-PMMH / SMC²
+# inner-filter pattern (round-5 probe, v5e, Nx=100 inner step in a scan):
+# repeat 87.8 us/step at nc=8 and 1681 at nc=1000, vs compare-count+take
+# 20.6 / 1006 us.  (A one-hot MXU matmul serve at HIGHEST is faster still
+# — 16.4 / 41 us — but is NOT inf/NaN-safe: 0*(+-inf) = NaN corrupts
+# outputs whose one-hot row zeros a non-finite source, and sampler leaves
+# like lpost are legitimately -inf; do not "optimise" this to a dot.)
+# 2^22 keeps the dense (N, M) compare at <= 4M lanes — at N >= _C on TPU
+# the Pallas plan route takes over anyway, so this mainly governs
+# sub-1024-particle inner filters and small CPU cases.
+_DENSE_SERVE_MAX = 2 ** 22
+
+
+def dense_ancestors_by_z(z, M):
+    """Sorted ancestor vector ``A[j] = #{k: z_k <= j}`` by broadcast
+    compare-count — O(N*M) lanes, no gather/scatter/repeat, batches
+    cleanly under vmap.  Callers gate on ``_DENSE_SERVE_MAX``."""
+    j = jnp.arange(M, dtype=jnp.int32)
+    A = jnp.sum((z[None, :] <= j[:, None]).astype(jnp.int32), axis=1)
+    return jnp.clip(A, 0, z.shape[0] - 1)
+
+
 def serve_by_z(z, M, use_pallas=True):
     """Serve *function* for the repeat-by-z problem: returns ``rep``
     mapping any leading-dim-N payload to ``Y[j] = X[#{k: z_k <= j}]``.
@@ -501,12 +526,17 @@ def serve_by_z(z, M, use_pallas=True):
     The one shared dispatch for every caller that repeats several
     payloads by the same ``z`` (the engine fast path's fallback branch
     and the distributed ring drivers' per-hop serves): the Pallas
-    visit-plan kernel when available, else offspring counts +
-    ``jnp.repeat``.  ``use_pallas=False`` skips the plan attempt (e.g.
-    when the caller already knows the kernel route is unavailable).
+    visit-plan kernel when available; below ``_DENSE_SERVE_MAX`` the
+    compare-count ancestor + ``jnp.take`` (vmap-friendly — see the gate's
+    comment); else offspring counts + ``jnp.repeat``.  ``use_pallas=False``
+    skips the plan attempt (e.g. when the caller already knows the kernel
+    route is unavailable).
     """
     plan = make_repeat_plan(z, M) if use_pallas else None
     if plan is None:
+        if z.shape[0] * M <= _DENSE_SERVE_MAX:
+            A = dense_ancestors_by_z(z, M)
+            return lambda leaf: jnp.take(leaf, A, axis=0)
         counts = jnp.diff(z, prepend=jnp.zeros(1, jnp.int32))
         return lambda leaf: jnp.repeat(leaf, counts, axis=0,
                                        total_repeat_length=M)
@@ -518,12 +548,15 @@ def ancestors_by_z(z, M):
     count-cumsum ``z``.
 
     Uses the kernel's fused IN-KERNEL int path (``want_anc`` — exact for
-    any N, no f32 round-trip), falling back to counts + ``jnp.repeat``.
+    any N, no f32 round-trip), falling back to the dense compare-count
+    below ``_DENSE_SERVE_MAX`` and to counts + ``jnp.repeat`` above it.
     Prefer this over serving an iota payload: int32 payloads are excluded
     from the f32 route (see ``_leaf_routable``).
     """
     plan = make_repeat_plan(z, M)
     if plan is None:
+        if z.shape[0] * M <= _DENSE_SERVE_MAX:
+            return dense_ancestors_by_z(z, M)
         counts = jnp.diff(z, prepend=jnp.zeros(1, jnp.int32))
         return jnp.repeat(jnp.arange(z.shape[0], dtype=jnp.int32), counts,
                           axis=0, total_repeat_length=M)
@@ -541,6 +574,9 @@ def repeat_by_counts(x, counts, M):
     """
     N = x.shape[0]
     if not (_on_tpu() and M == N and N >= _C and _leaf_routable(x, N)):
+        if N * M <= _DENSE_SERVE_MAX:
+            z = jnp.cumsum(counts.astype(jnp.int32))
+            return jnp.take(x, dense_ancestors_by_z(z, M), axis=0)
         return jnp.repeat(x, counts, axis=0, total_repeat_length=M)
     z = jnp.cumsum(counts.astype(jnp.int32))
     return repeat_by_z(x, z, M)

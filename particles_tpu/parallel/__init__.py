@@ -9,4 +9,5 @@ from particles_tpu.parallel.sharded import (  # noqa: F401
 from particles_tpu.parallel.distributed import (  # noqa: F401
     ring_systematic_resample,
     run_shardmap_smc,
+    sharded_backward_mcmc,
 )

@@ -52,7 +52,8 @@ from jax.sharding import PartitionSpec as P
 from particles_tpu import distctx
 
 __all__ = ["ring_systematic_resample", "ring_stratified_resample",
-           "ring_multinomial_resample", "run_shardmap_smc"]
+           "ring_multinomial_resample", "run_shardmap_smc",
+           "sharded_backward_mcmc"]
 
 
 def _shard_map(f, mesh, in_specs, out_specs):
@@ -608,3 +609,105 @@ def run_shardmap_smc(fk, N, key=None, mesh=None, axis="particles",
     else:
         res.hist = None
     return res
+
+
+def sharded_backward_mcmc(hist, key, M, mesh, axis="particles", nsteps=1,
+                          lower_only=False):
+    """FFBS-MCMC backward pass with the stored history SHARDED over the
+    particle axis (VERDICT r4 task 6 — memory-motivated).
+
+    A full f32 history at the headline scale (N=2^20, T=10^3) is ~4 GB
+    PER payload column — near the single-chip HBM ceiling (reference
+    workload class: ``book/smoothing/offline_smoothing.py:20``, the
+    "~1 day" study).  Sharded over D devices the resident cost is
+    ``T*N/D`` per device; each backward step all-gathers ONE frame's
+    columns ((N,)-sized transients), so the high-water mark per device is
+    ``T*N/D + O(N)`` instead of ``T*N``.
+
+    Algorithm (Dau & Chopin 2022 independent-Metropolis FFBS, exactly as
+    :meth:`particles_tpu.smoothing.ParticleHistory.backward_sampling_mcmc`):
+    each shard runs ``Mloc = M/D`` trajectories; the iid multinomial
+    proposals are drawn shard-locally from the replicated (all-gathered)
+    frame weights with a shard-folded key — iid proposals are
+    exchangeable across shards, so the sharded pass targets the SAME law
+    as the single-device pass (the realisation differs: a different
+    uniform stream).  ``logpt`` is elementwise in the Mloc trajectories.
+
+    Collective budget per backward step: ``L + 2`` all-gathers (L = state
+    columns, plus ``lw_t`` and ``A_{t+1}``), ZERO all-reduces, ZERO
+    permutes (enforced by ``tests/test_collective_budget.py``).
+
+    Returns paths as a (T, M, ...) pytree, M sharded over ``axis``.
+    """
+    from particles_tpu import resampling as rs
+
+    D = int(mesh.shape[axis])
+    if M % D:
+        raise ValueError(f"M={M} not divisible by mesh axis size {D}")
+    Mloc = M // D
+    fk = hist.fk
+    T = hist.T
+
+    def local_bw(fk, X, A, lw, key):
+        # X/A/lw are the shard's (T, Nloc, ...) slices
+        shard = jax.lax.axis_index(axis)
+        key = jax.random.fold_in(key, shard)
+        kT, kscan = jax.random.split(key)
+        gather = lambda l: jax.lax.all_gather(l, axis, axis=0, tiled=True)
+
+        take = lambda tree, ix: jax.tree_util.tree_map(
+            lambda l: jnp.take(l, ix, axis=0), tree)
+
+        WT = rs.exp_and_normalise(gather(lw[-1]))
+        idx_T = rs.multinomial_iid(kT, WT, Mloc)
+        xg_T = jax.tree_util.tree_map(
+            gather, jax.tree_util.tree_map(lambda l: l[-1], X))
+        path_T = take(xg_T, idx_T)
+
+        def body(carry, inputs):
+            idx_next, xg_next = carry
+            t, k, X_t, lw_t, A_t1 = inputs
+            xg_t = jax.tree_util.tree_map(gather, X_t)
+            W_t = rs.exp_and_normalise(gather(lw_t))
+            A_g = gather(A_t1)
+            xn = take(xg_next, idx_next)
+            idx_t = jnp.take(A_g, idx_next)
+            lp_cur = fk.logpt(t + 1, take(xg_t, idx_t), xn)
+
+            def mh_step(i, st):
+                idx_t, lp_cur, k = st
+                k, k1, k2 = jax.random.split(k, 3)
+                prop = rs.multinomial_iid(k1, W_t, Mloc)
+                lp_prop = fk.logpt(t + 1, take(xg_t, prop), xn)
+                lu = jnp.log(jax.random.uniform(k2, (Mloc,)))
+                accept = lu < (lp_prop - lp_cur)
+                idx_t = jnp.where(accept, prop, idx_t)
+                lp_cur = jnp.where(accept, lp_prop, lp_cur)
+                return idx_t, lp_cur, k
+
+            idx_t, _, _ = jax.lax.fori_loop(0, nsteps, mh_step,
+                                            (idx_t, lp_cur, k))
+            return (idx_t, xg_t), take(xg_t, idx_t)
+
+        ts = jnp.arange(T - 1, dtype=jnp.int32)
+        inputs = (
+            ts[::-1],
+            jax.random.split(kscan, T - 1),
+            jax.tree_util.tree_map(lambda l: l[-2::-1], X),
+            lw[-2::-1],
+            A[:0:-1],
+        )
+        _, paths_rev = jax.lax.scan(body, (idx_T, xg_T), inputs)
+        return jax.tree_util.tree_map(
+            lambda rev, last: jnp.concatenate([rev[::-1], last[None]],
+                                              axis=0),
+            paths_rev, path_T)
+
+    in_specs = (P(), P(None, axis), P(None, axis), P(None, axis), P())
+    out_specs = P(None, axis)
+    f = _shard_map(local_bw, mesh, in_specs=in_specs, out_specs=out_specs)
+    jf = jax.jit(f)
+    with mesh:
+        if lower_only:  # collective-census tests inspect the StableHLO
+            return jf.lower(fk, hist.X, hist.A, hist.lw, key).as_text()
+        return jf(fk, hist.X, hist.A, hist.lw, key)

@@ -323,9 +323,14 @@ class ThetaParticles(Pytree):
         fields = self._particle_fields()
         N = next(iter(self.theta.values())).shape[0]
         if not (rk._on_tpu() and M == N and N >= rk._C):
-            # plan route unavailable (CPU, waste-free M != N): repeat
-            # directly by counts — skips the z cumsum that _repeat_z's
-            # fallback would immediately diff back into counts
+            # plan route unavailable (CPU, waste-free M != N)
+            if N * M <= rk._DENSE_SERVE_MAX:
+                # dense compare-count + take: identical output, batches
+                # cleanly under vmap (jnp.repeat does not — see the
+                # _DENSE_SERVE_MAX comment in ops/repeat_kernel.py)
+                A = rk.dense_ancestors_by_z(
+                    jnp.cumsum(counts.astype(jnp.int32)), M)
+                return self.subset(A)
             served = jax.tree_util.tree_map(
                 lambda a: jnp.repeat(a, counts, axis=0,
                                      total_repeat_length=M), fields)
@@ -1192,6 +1197,8 @@ class SMC2(FKSMCsampler):
     def _inner_step(self, key, theta_single, xs, lws, t):
         """Advance one inner bootstrap filter one step; returns
         (new x-particles, new lw, incremental loglik)."""
+        from particles_tpu import ops
+
         ssm = self._ssm_from_theta(theta_single)
         fk = self.fk_cls(ssm=ssm, data=self.data)
         Nx = xs.shape[0]
@@ -1200,7 +1207,14 @@ class SMC2(FKSMCsampler):
         rs_flag = wgts.ESS < self.inner_ESSrmin * Nx
         counts = rs.resampling_counts(self.inner_resampling, k_rs, wgts.W,
                                       M=Nx)
-        xs_res = jnp.repeat(xs, counts, axis=0, total_repeat_length=Nx)
+        # serve_by_z(use_pallas=False), NOT a bare jnp.repeat: this step
+        # runs under a vmap over N-theta particles, where jnp.repeat's
+        # batching rule is catastrophic (1681 vs 1006 us/step at
+        # ntheta=1000, Nx=100 — see ops/repeat_kernel._DENSE_SERVE_MAX);
+        # use_pallas=False because vmap-of-scalar-prefetch-pallas is an
+        # unvalidated route on hardware
+        xs_res = ops.serve_by_z(
+            jnp.cumsum(counts.astype(jnp.int32)), Nx, use_pallas=False)(xs)
         xs_sel = jnp.where(rs_flag, xs_res, xs)
         lw_sel = jnp.where(rs_flag, jnp.zeros(Nx), lws)
         x_new = fk.M(k_m, t, xs_sel)

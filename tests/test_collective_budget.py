@@ -251,3 +251,32 @@ class TestSamplerShardMapBudget:
             c["collective_permute"]
         assert len(c["collective_permute"]) == 5 * (D - 1), \
             len(c["collective_permute"])
+
+
+class TestShardedFFBSBudget:
+    """Round 5 (VERDICT r4 task 6): the sharded FFBS backward pass moves
+    ONLY frame-sized all-gathers — L+2 per step (L = state leaves, plus
+    lw_t and A_{t+1}), 2+L one-off gathers for the final frame, zero
+    all-reduces, zero permutes, zero all-to-all.  The scan body appears
+    once in the lowered text."""
+
+    def test_backward_census(self, fk_mesh):
+        fk, mesh = fk_mesh
+        import particles_tpu as particles
+        from particles_tpu.parallel import distributed as dist
+
+        pf = particles.SMC(fk=fk, N=N, key=jax.random.key(1),
+                           store_history=True)
+        pf.run()
+        txt = dist.sharded_backward_mcmc(
+            pf.hist, jax.random.key(2), 64, mesh, lower_only=True)
+        c = _stablehlo_census(txt)
+        Nloc = N // D
+        assert c["all_to_all"] == []
+        assert c["all_reduce"] == [], c["all_reduce"]
+        assert c["collective_permute"] == [], c["collective_permute"]
+        # L=1 state leaf: 3 gathers in the scan body (X_t, lw_t, A_t1)
+        # + 2 outside (lw_T, X_T), all (Nloc -> N)-sized
+        assert all(a == Nloc and b == N for a, b in c["all_gather"]), \
+            c["all_gather"]
+        assert len(c["all_gather"]) == 5, c["all_gather"]
