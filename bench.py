@@ -507,7 +507,11 @@ def measure_device():
     # round-4b: vmapped multi-chain PMMH — the deployment shape of the
     # reference's pmmh studies (several independent chains; serial there,
     # ">10 h", book/pmcmc/pmmh_lingauss.py:15).  At Nx=100 a single chain
-    # leaves the chip ~idle, so K chains cost ~one chain's wall-clock.
+    # leaves the chip ~idle, so K chains cost ~one chain's wall-clock:
+    # measured round 5 (after the dense small-N serve fix — vmapped
+    # jnp.repeat was the 4.5x artifact's real cause alongside the
+    # fresh-object retrace): 8 chains = 5.57 ms/iter vs 5.14 single =
+    # 1.08x (T=200 niter=1000 probe).
     def multichain():
         import jax
         import numpy as np
