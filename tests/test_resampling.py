@@ -969,8 +969,10 @@ class TestBlockedSSP:
 
     def test_tree_tv_matches_sequential(self):
         """Mean TV(W, counts/N) of the tree pairing equals the sequential
-        pairing's (identical marginals) on peaked weights at small N."""
-        N, R = 1024, 40
+        pairing's (identical marginals) on peaked weights at small N —
+        to THREE decimal places (round-5 calibration at R=400:
+        diff -1.1e-4, MC se(diff) 1.0e-4)."""
+        N, R = 1024, 400
         rng = np.random.default_rng(1)
         lw = 3.0 * rng.standard_normal(N)
         W = jnp.asarray(np.exp(lw - lw.max()) / np.exp(lw - lw.max()).sum(),
@@ -981,11 +983,50 @@ class TestBlockedSSP:
             def one(key):
                 c = counts_fn(key)
                 return 0.5 * jnp.sum(jnp.abs(c / N - W))
-            return float(jax.vmap(one)(keys).mean())
+            return float(jax.jit(jax.vmap(one))(keys).mean())
 
         tv_seq = tv(lambda k: rs.resampling_counts("ssp", k, W, M=N))
         tv_tree = tv(lambda k: rs._ssp_counts_blocked(k, W, N))
-        assert abs(tv_tree - tv_seq) / tv_seq < 0.15, (tv_tree, tv_seq)
+        assert abs(tv_tree - tv_seq) < 5e-4, (tv_tree, tv_seq)
+
+    def test_tree_vs_sequential_joint_law(self):
+        """Adversarial (geometric) weights: the two pairings share every
+        MARGINAL (count_i ~ floor(Nw_i) + Bernoulli(frac)) but differ in
+        the JOINT law, by design — sequential SSP couples adjacent
+        indices (adjacent-pair covariance strongly negative, so
+        window sums are near-deterministic), while the tree pairing
+        couples strided block partners (adjacent covariance ~0, window
+        sums much noisier).  Round-5 calibration (Rg=2000): cov_adj
+        -0.042 vs -0.0001, var(win64-sum) 0.156 vs 5.56."""
+        N, Rg = 1024, 800
+        q = 0.99
+        Wg = q ** np.arange(N)
+        Wg = jnp.asarray(Wg / Wg.sum(), jnp.float32)
+        MW = np.asarray(N * np.asarray(Wg, np.float64))
+        p = MW - np.floor(MW)
+        keys = jax.random.split(jax.random.key(7), Rg)
+
+        def draw(counts_fn):
+            return np.asarray(jax.jit(jax.vmap(counts_fn))(keys),
+                              np.float64)
+
+        cs_seq = draw(lambda k: rs.resampling_counts("ssp", k, Wg, M=N))
+        cs_tree = draw(lambda k: rs._ssp_counts_blocked(k, Wg, N))
+        stats = {}
+        well = (p > 0.1) & (p < 0.9)
+        for name, cs in (("seq", cs_seq), ("tree", cs_tree)):
+            v = cs.var(axis=0, ddof=1)
+            rel = np.abs(v[well] - (p * (1 - p))[well]) / (p * (1 - p))[well]
+            # identical marginals: variance = p(1-p) for BOTH pairings
+            assert rel.mean() < 0.10, (name, rel.mean())
+            assert rel.max() < 0.50, (name, rel.max())
+            cov_adj = np.mean([np.cov(cs[:, i], cs[:, i + 1])[0, 1]
+                               for i in range(256)])
+            stats[name] = (cov_adj, cs[:, :64].sum(axis=1).var(ddof=1))
+        # the documented joint-law deviation
+        assert stats["seq"][0] < -0.02, stats
+        assert abs(stats["tree"][0]) < 0.01, stats
+        assert stats["tree"][1] > 5 * stats["seq"][1], stats
 
     def test_unaligned_and_degenerate(self):
         # N not a multiple of the block width at every level
