@@ -161,24 +161,28 @@ class TestGspmdBudget:
         assert census["all-to-all"] == []
         # particle-sized gathers appear ONLY as the resample-branch
         # gather machinery: at most N-sized, and the number of
-        # >=N-element gathers is pinned (two f32 particle gathers + two
-        # s32 ancestor/z gathers in the cond branches)
+        # >=N-element gathers is pinned.  Round 5: the dense small-N
+        # serve (N*M <= 2^22 here — N=256) replaced the counts+repeat
+        # route, DROPPING one N-sized s32 gather, one all-reduce and two
+        # permutes; the sub-N s32 gathers are the compare-count tree's
+        # partials.  (At production N the Pallas/z route lowers
+        # differently — this census pins the small-N GSPMD program.)
         def n_elems(t):
             m = re.search(r"\[(\d+)", t)
             return int(m.group(1)) if m else 1
 
         big_gathers = [t for t in census["all-gather"]
                        if n_elems(t) >= N]
-        assert len(big_gathers) == 4, census["all-gather"]
+        assert len(big_gathers) == 3, census["all-gather"]
         assert all(n_elems(t) <= N for t in census["all-gather"]), \
             census["all-gather"]
         assert all(n_elems(t) <= N for t in census["all-reduce"]), \
             census["all-reduce"]
         # total census pinned: a NEW collective (stray gather in a
         # collector / serve path) trips this even if small
-        assert len(census["all-gather"]) == 9, census["all-gather"]
-        assert len(census["all-reduce"]) == 10, census["all-reduce"]
-        assert len(census["collective-permute"]) == 20, \
+        assert len(census["all-gather"]) == 8, census["all-gather"]
+        assert len(census["all-reduce"]) == 9, census["all-reduce"]
+        assert len(census["collective-permute"]) == 18, \
             census["collective-permute"]
 
 
