@@ -250,7 +250,9 @@ class NestedSamplingSMC(ssps.FKSMCsampler):
             llik=self.model.loglik(th),
         )
         x = x.replace(lpost=x.lprior)
-        cal = self.move.calibrate(jnp.full(N0, 1.0 / N0), x)
+        # uniform weights normalised over the GLOBAL count (calibrate's
+        # moment reductions are dist-aware)
+        cal = self.move.calibrate(jnp.full(N0, 1.0 / ssps._gN(N0)), x)
         return x.with_shared(
             lt=jnp.float32(-jnp.inf),
             log_evid=jnp.float32(-jnp.inf),
@@ -275,15 +277,21 @@ class NestedSamplingSMC(ssps.FKSMCsampler):
         return self.current_target(x.shared["lt"])
 
     def logG_and_update(self, t, x):
-        N0 = x.N
         llik = x.llik
         curr_evid = x.shared["log_evid"]
-        lt = jnp.percentile(llik, 100.0 * (1.0 - self.ESSrmin))
+        # one (N0,) all-gather serves the percentile level AND the two
+        # evidence reductions, replicated identically on every shard
+        # (identity single-device); under particle sharding a shard-local
+        # percentile/log_sum_exp would be silently wrong
+        llik_all = ssps._gather_global(llik)
+        N0 = llik_all.shape[0]
+        lt = jnp.percentile(llik_all, 100.0 * (1.0 - self.ESSrmin))
         t_f = t.astype(jnp.float32) if hasattr(t, "astype") else jnp.float32(t)
         log_shrink = t_f * jnp.log(self.ESSrmin) - jnp.log(N0)
-        lZt = log_shrink + rs.log_sum_exp(jnp.where(llik <= lt, llik, -jnp.inf))
+        lZt = log_shrink + rs.log_sum_exp(
+            jnp.where(llik_all <= lt, llik_all, -jnp.inf))
         new_evid = jnp.logaddexp(curr_evid, lZt)
-        lZt_final = log_shrink + rs.log_sum_exp(llik)
+        lZt_final = log_shrink + rs.log_sum_exp(llik_all)
         new_evid_final = jnp.logaddexp(curr_evid, lZt_final)
         stop = jnp.abs(new_evid - new_evid_final) < self.eps
         lt = jnp.where(stop, jnp.inf, lt)

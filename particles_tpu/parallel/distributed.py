@@ -375,8 +375,8 @@ _sampler_shard_cache = {}
 
 def _run_shardmap_sampler(fk, N, key, mesh, axis, resampling, ESSrmin,
                           collect, store_history, verbose=False):
-    """Run an SMC sampler (IBIS / Tempering / AdaptiveTempering — any
-    ``is_sampler`` FK) with its PARTICLES sharded over ``axis``.
+    """Run an SMC sampler (IBIS / Tempering / AdaptiveTempering / NS-SMC
+    — any ``is_sampler`` FK) with its PARTICLES sharded over ``axis``.
 
     The sampler stepping engine (``smc_samplers._sampler_step``) executes
     inside ``shard_map`` under :mod:`particles_tpu.distctx`, one compiled
@@ -532,9 +532,10 @@ def run_shardmap_smc(fk, N, key=None, mesh=None, axis="particles",
     from particles_tpu import core
 
     if getattr(fk, "is_sampler", False):
-        # SMC samplers (IBIS / tempering / adaptive tempering) run through
-        # the sharded stepping engine: dynamic horizon + waste-free shape
-        # changes need per-step host control, not the one-scan program
+        # SMC samplers (IBIS / tempering / adaptive tempering / NS-SMC)
+        # run through the sharded stepping engine: dynamic horizon +
+        # waste-free shape changes need per-step host control, not the
+        # one-scan program
         if qmc:
             raise NotImplementedError(
                 "run_shardmap_smc: qmc=True is not supported for SMC "

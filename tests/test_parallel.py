@@ -662,6 +662,33 @@ class TestShardedSamplers:
             assert abs(float(res.logLt) - exact) < 1.2, (
                 scheme, float(res.logLt), exact)
 
+    def test_ns_smc_matches_exact_evidence(self):
+        """Round 5: NS-SMC on the mesh — its percentile level, evidence
+        reductions and shrinkage count run on ONE gathered (N0,) llik
+        (a shard-local percentile would be silently wrong)."""
+        from particles_tpu import nested
+
+        model, exact = self._conjugate_model()
+        mesh = self._mesh()
+        vals, steps = [], []
+        for s in range(3):
+            fk = nested.NestedSamplingSMC(model=model, len_chain=5,
+                                          ESSrmin=0.3, eps=0.01)
+            res = parallel.run_shardmap_smc(
+                fk, N=128, key=jax.random.key(s), mesh=mesh)
+            vals.append(float(res.X.shared["log_evid"]))
+            steps.append(res.t)
+            assert np.isinf(float(res.X.shared["lt"]))
+        assert abs(np.mean(vals) - exact) < 1.0, (vals, exact)
+        # single-device runs terminate at a comparable level count
+        pf = particles.SMC(
+            fk=nested.NestedSamplingSMC(model=model, len_chain=5,
+                                        ESSrmin=0.3, eps=0.01),
+            N=128, key=jax.random.key(0))
+        pf.run()
+        assert abs(pf.t - np.mean(steps)) <= max(3, 0.3 * pf.t), \
+            (pf.t, steps)
+
     def test_sampler_documented_raises(self):
         from particles_tpu import distributions as dists
         from particles_tpu import smc_samplers as ssp
