@@ -29,7 +29,7 @@ import threading
 from contextlib import contextmanager
 from typing import NamedTuple
 
-__all__ = ["DistCtx", "dist_context", "current"]
+__all__ = ["DistCtx", "dist_context", "local_context", "current"]
 
 
 class DistCtx(NamedTuple):
@@ -60,5 +60,27 @@ def dist_context(axis, D):
     _state.ctx = DistCtx(str(axis), int(D))
     try:
         yield _state.ctx
+    finally:
+        _state.ctx = prev
+
+
+@contextmanager
+def local_context():
+    """Temporarily SUPPRESS the ambient context (single-device semantics)
+    while tracing strictly per-particle inner computations.
+
+    SMC²'s inner particle filters are the motivating case: each
+    theta-particle carries its own (Nx,) bootstrap filter whose weight
+    reductions (``Weights``/``log_mean_exp`` over the Nx axis) are local
+    to that theta by construction — under a live :func:`dist_context`
+    the dist-aware numerics layer would turn them into cross-shard
+    psums, silently summing INDEPENDENT inner filters across devices.
+    Wrapping the vmapped inner-step call in ``local_context()`` restores
+    single-device semantics for exactly that trace region.
+    """
+    prev = getattr(_state, "ctx", None)
+    _state.ctx = None
+    try:
+        yield
     finally:
         _state.ctx = prev

@@ -375,8 +375,8 @@ _sampler_shard_cache = {}
 
 def _run_shardmap_sampler(fk, N, key, mesh, axis, resampling, ESSrmin,
                           collect, store_history, verbose=False):
-    """Run an SMC sampler (IBIS / Tempering / AdaptiveTempering / NS-SMC
-    — any ``is_sampler`` FK) with its PARTICLES sharded over ``axis``.
+    """Run an SMC sampler (IBIS / Tempering / AdaptiveTempering / NS-SMC /
+    SMC² — any ``is_sampler`` FK) with its PARTICLES sharded over ``axis``.
 
     The sampler stepping engine (``smc_samplers._sampler_step``) executes
     inside ``shard_map`` under :mod:`particles_tpu.distctx`, one compiled
@@ -396,6 +396,15 @@ def _run_shardmap_sampler(fk, N, key, mesh, axis, resampling, ESSrmin,
     arrays (sampler populations are small; this is what the single-device
     stepping engine does too), so the full collector set — including the
     host-side waste-free variance estimators — is supported.
+
+    SMC² (reference smc_samplers.py:1038-1167) shards the THETA axis:
+    each shard advances its slice of the vmapped inner bootstrap filters
+    (their (Nx,) weight reductions stay theta-local — the model wraps
+    them in ``distctx.local_context()``), the theta-resample ring-serves
+    whole inner-filter pytrees (xs/lws plus the uint32-bitcast pf_key),
+    and the host-controlled exchange step (Nx doubling) replays the
+    sharded inner filters through plain-GSPMD jit (embarrassingly
+    theta-parallel, traced under ``no_pallas()``).
     """
     from particles_tpu import collectors as col
     from particles_tpu import core
@@ -406,11 +415,6 @@ def _run_shardmap_sampler(fk, N, key, mesh, axis, resampling, ESSrmin,
         raise NotImplementedError(
             f"run_shardmap_smc (sampler): resampling scheme {resampling!r} "
             "is not supported under particle sharding")
-    if hasattr(fk, "maybe_exchange"):
-        raise NotImplementedError(
-            "run_shardmap_smc: SMC2 is not supported under particle "
-            "sharding yet (exchange-step replay + inner-filter key "
-            "payloads); run it single-device or shard the runs axis")
     key = key if key is not None else jax.random.key(0)
     D = int(mesh.shape[axis])
     if N % D:
@@ -475,8 +479,28 @@ def _run_shardmap_sampler(fk, N, key, mesh, axis, resampling, ESSrmin,
         print(fk.summary_format(types.SimpleNamespace(
             t=0, X=view.X, wgts=view.wgts, rs_flag=view.rs_flag)))
 
+    # SMC²'s host-controlled exchange step (Nx doubling): reuse
+    # fk.maybe_exchange through a minimal smc-shim — the replay inside it
+    # is a plain jit over the GSPMD-sharded theta axis (embarrassingly
+    # parallel; inner-filter reductions are distctx-suppressed by the
+    # model itself), traced under no_pallas() per the GSPMD guard.
+    exch = types.SimpleNamespace(
+        key=key, verbose=verbose, rs_flag=view.rs_flag, t=0,
+        X=carry.X, wgts=rs.Weights(carry.lw), logLt=carry.logLt,
+        _carry=carry)
+
     t = 1
     while not fk.done(types.SimpleNamespace(t=t, X=carry.X)):
+        if hasattr(fk, "maybe_exchange"):
+            # mirror sampler_next: called with smc.t == the step ABOUT to
+            # run (the inner filters hold observations 0..t-1, the replay
+            # horizon), smc.rs_flag == the just-completed step's flag
+            exch.t, exch.rs_flag, exch._carry, exch.X = (
+                t, view.rs_flag, carry, carry.X)
+            from particles_tpu.ops import no_pallas
+            with no_pallas():
+                fk.maybe_exchange(exch)
+            carry = exch._carry
         with mesh:
             carry, small = jit_step(fk, carry, jnp.int32(t))
         view = make_view(t, carry, small["rs_flag"], small["loglt"])
@@ -532,8 +556,8 @@ def run_shardmap_smc(fk, N, key=None, mesh=None, axis="particles",
     from particles_tpu import core
 
     if getattr(fk, "is_sampler", False):
-        # SMC samplers (IBIS / tempering / adaptive tempering / NS-SMC)
-        # run through the sharded stepping engine: dynamic horizon +
+        # SMC samplers (IBIS / tempering / adaptive tempering / NS-SMC /
+        # SMC²) run through the sharded stepping engine: dynamic horizon +
         # waste-free shape changes need per-step host control, not the
         # one-scan program
         if qmc:

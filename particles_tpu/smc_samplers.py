@@ -58,6 +58,30 @@ def _dist_mean(v):
     return jax.lax.psum(jnp.sum(v), ctx.axis) / (v.shape[0] * ctx.D)
 
 
+def _unkey_tree(tree):
+    """Bitcast PRNG-key-typed leaves of ``tree`` to their raw uint32 key
+    data (ring-serve scaffolding builds zeros/where/ppermute on every
+    leaf, none of which accept extended key dtypes — SMC²'s ``pf_key``
+    field is the motivating case).  Returns ``(plain_tree, rekey)`` where
+    ``rekey`` wraps a same-structure served tree's data leaves back into
+    typed keys."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    impls = [jax.random.key_impl(l)
+             if jnp.issubdtype(l.dtype, jax.dtypes.prng_key) else None
+             for l in leaves]
+    plain = treedef.unflatten([
+        jax.random.key_data(l) if im is not None else l
+        for l, im in zip(leaves, impls)])
+
+    def rekey(out):
+        outl = treedef.flatten_up_to(out)
+        return treedef.unflatten([
+            jax.random.wrap_key_data(o, impl=im) if im is not None else o
+            for o, im in zip(outl, impls)])
+
+    return plain, rekey
+
+
 def _gather_global(v):
     """The full global vector of a (possibly sharded) per-particle array.
 
@@ -892,12 +916,6 @@ def _sampler_step(fk, carry, t, N, resampling_scheme, ESSrmin):
                 "under particle sharding (rings exist for systematic/"
                 "stratified z-forms and the multinomial sorted-uniform "
                 "merge)")
-        if hasattr(fk, "maybe_exchange"):
-            raise NotImplementedError(
-                "SMC2 is not supported under particle sharding yet (the "
-                "exchange step's host-side replay and the inner-filter key "
-                "payloads need dedicated plumbing); run it single-device "
-                "or shard the runs axis")
         # chain-move proposals must be independent across shards; the
         # resampling key k_rs stays replicated (shared ring uniforms)
         k_mv = jax.random.fold_in(k_mv, jax.lax.axis_index(dctx.axis))
@@ -919,7 +937,7 @@ def _sampler_step(fk, carry, t, N, resampling_scheme, ESSrmin):
         else:
             from particles_tpu.parallel import distributed as dist
 
-            fields = Xc._particle_fields()
+            fields, rekey = _unkey_tree(Xc._particle_fields())
             if resampling_scheme == "systematic":
                 u = jax.random.uniform(k_rs, ())
                 served = dist.ring_systematic_resample(
@@ -930,7 +948,7 @@ def _sampler_step(fk, carry, t, N, resampling_scheme, ESSrmin):
             else:  # multinomial (checked at trace time above)
                 served = dist.ring_multinomial_resample(
                     fields, wgts.lw, k_rs, N, dctx.axis, dctx.D)
-            Xres = ThetaParticles(shared=dict(Xc.shared), **served)
+            Xres = ThetaParticles(shared=dict(Xc.shared), **rekey(served))
         target = fk.move_target(t, Xc)
         Xmoved = fk.move(k_mv, Xres, target)
         return Xmoved, jnp.zeros(N0, lw.dtype)
@@ -1236,12 +1254,15 @@ class SMC2(FKSMCsampler):
         k_th, k_pf = jax.random.split(key)
         th = dict(self.prior.rvs(k_th, size=N0))
         keys = jax.random.split(k_pf, N0)
-        xs, lws, loglt = jax.vmap(
-            lambda k, i: self._inner_init(
-                k, {p: th[p][i] for p in th}, self.init_Nx
-            ),
-            in_axes=(0, 0),
-        )(keys, jnp.arange(N0))
+        # inner filters are strictly per-theta: their (Nx,) weight
+        # reductions must stay local even under particle sharding
+        with distctx.local_context():
+            xs, lws, loglt = jax.vmap(
+                lambda k, i: self._inner_init(
+                    k, {p: th[p][i] for p in th}, self.init_Nx
+                ),
+                in_axes=(0, 0),
+            )(keys, jnp.arange(N0))
         x = ThetaParticles(
             theta=th,
             lpost=self.prior.logpdf(th) + loglt,
@@ -1250,7 +1271,7 @@ class SMC2(FKSMCsampler):
             loglik=loglt,
             pf_key=jax.random.split(jax.random.fold_in(key, 7), N0),
         )
-        cal = self.move.calibrate(jnp.full(N0, 1.0 / N0), x)
+        cal = self.move.calibrate(jnp.full(N0, 1.0 / _gN(N0)), x)
         return x.with_shared(acc_rate=jnp.float32(0.0), **cal)
 
     @property
@@ -1278,7 +1299,10 @@ class SMC2(FKSMCsampler):
                 step_keys[i, 0], th_i, x.xs[i], x.lws[i], t
             )
 
-        xs, lws, loglt = jax.vmap(one)(jnp.arange(N0))
+        # per-theta inner steps: suppress any ambient dist context so the
+        # (Nx,) weight reductions stay theta-local (see distctx.local_context)
+        with distctx.local_context():
+            xs, lws, loglt = jax.vmap(one)(jnp.arange(N0))
         x = x.replace(
             xs=xs,
             lws=lws,
@@ -1331,7 +1355,9 @@ class SMC2(FKSMCsampler):
                 th_i = {p: xx.theta[p][i] for p in xx.theta}
                 return self._replay_one(keys[i], th_i, t, Nx)
 
-            xs, lws, ll = jax.vmap(one)(jnp.arange(N0))
+            # replays are per-theta inner filters (see logG_and_update)
+            with distctx.local_context():
+                xs, lws, ll = jax.vmap(one)(jnp.arange(N0))
             lpost = self.prior.logpdf(xx.theta) + ll
             return xx.replace(xs=xs, lws=lws, loglik=ll, lpost=lpost)
 
@@ -1351,7 +1377,8 @@ class SMC2(FKSMCsampler):
             th_i = {p: x.theta[p][i] for p in x.theta}
             return self._replay_one(keys[i], th_i, t, new_Nx)
 
-        return jax.vmap(one)(jnp.arange(N0))
+        with distctx.local_context():
+            return jax.vmap(one)(jnp.arange(N0))
 
     def maybe_exchange(self, smc):
         """Host-side hook called by the stepping engine before each step

@@ -257,6 +257,82 @@ class TestSamplerShardMapBudget:
             len(c["collective_permute"])
 
 
+class TestSMC2ShardMapBudget:
+    """Round 5 (final): census of ONE sharded SMC² step (theta-sharded,
+    LinearGauss inner filters, Nx=32, len_chain=3, non-waste-free).
+
+    Design budget: the inner particle filters contribute ZERO collectives
+    — their (Nx,) weight reductions are theta-local and must stay so
+    (``distctx.local_context()`` inside the SMC2 model; a regression here
+    means inner filters are being silently summed across shards).  What
+    remains is the sampler scaffolding: scalar-only all-reduces, exactly
+    ONE (D,) all-gather (the ring shard-sum table — SMC² needs no (N0,)
+    llik gather, its potential is the local inner-filter increment), and
+    the theta-resample ring at 7 permutes/hop: z block + the 6
+    ThetaParticles leaves (theta, lpost, loglik Nloc-sized; pf_key
+    2*Nloc uint32; xs and lws Nloc*Nx-sized — whole inner-filter pytrees
+    ride the ring).
+    """
+
+    def test_smc2_step_census(self, fk_mesh):
+        _, mesh = fk_mesh
+        import particles_tpu.smc_samplers as ssp
+        from particles_tpu import distributions as dists
+
+        true = kalman.LinearGauss(rho=0.8, sigmaX=1.0, sigmaY=0.5)
+        _, y = true.simulate(jax.random.key(0), 6)
+
+        class LGfixed(kalman.LinearGauss):
+            default_params = {
+                "sigmaY": 0.5, "rho": 0.9, "sigmaX": 1.0, "sigma0": None
+            }
+
+        prior = dists.StructDist({"rho": dists.Uniform(a=-0.99, b=0.99)})
+        Nx = 32
+        fk = ssp.SMC2(ssm_cls=LGfixed, prior=prior, data=y, init_Nx=Nx,
+                      len_chain=3)
+        Ns = 128
+        Nloc = Ns // D
+        N0loc = fk.N0(Nloc)
+
+        def local_step(fk, carry, t):
+            with distctx.dist_context("particles", D):
+                carry2, view = ssp._sampler_step(
+                    fk, carry, t, Ns, "systematic", 0.5)
+            return carry2, {"rs_flag": view.rs_flag, "loglt": view.loglt}
+
+        key = jax.random.key(0)
+        carry_shapes = jax.eval_shape(
+            lambda f, k: ssp._sampler_step0(f, k, Nloc), fk, key)
+        carry_spec = dist._sampler_carry_specs(
+            carry_shapes, N0loc, "particles")
+        fk_spec = jax.tree_util.tree_map(lambda _: P(), fk)
+        f0 = dist._shard_map(
+            lambda fk, k: ssp._sampler_step0(fk, k, Nloc), mesh,
+            in_specs=(fk_spec, P()), out_specs=carry_spec)
+        f = dist._shard_map(
+            local_step, mesh, in_specs=(fk_spec, carry_spec, P()),
+            out_specs=(carry_spec, P()))
+        with mesh:
+            carry = jax.jit(f0)(fk, key)
+            txt = jax.jit(f).lower(fk, carry, jnp.int32(1)).as_text()
+        c = _stablehlo_census(txt)
+        assert c["all_to_all"] == []
+        # scalar-only all-reduces, pinned count (update CONSCIOUSLY)
+        assert all(a == 1 and b == 1 for a, b in c["all_reduce"]), \
+            c["all_reduce"]
+        assert len(c["all_reduce"]) == 9, c["all_reduce"]
+        # exactly ONE all-gather: the (D,) ring shard-sum table — the
+        # inner filters must contribute NOTHING
+        assert c["all_gather"] == [(1, D)], c["all_gather"]
+        # ring: 7 permutes/hop (z + 6 leaves), last hop DCE'd; permute
+        # sizes pin the payload set (inner-filter states ride whole)
+        sizes = sorted(set(a for a, _ in c["collective_permute"]))
+        assert sizes == [Nloc, 2 * Nloc, Nloc * Nx], sizes
+        assert len(c["collective_permute"]) == 7 * (D - 1), \
+            len(c["collective_permute"])
+
+
 class TestShardedFFBSBudget:
     """Round 5 (VERDICT r4 task 6): the sharded FFBS backward pass moves
     ONLY frame-sized all-gathers — L+2 per step (L = state leaves, plus

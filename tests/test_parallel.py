@@ -690,9 +690,7 @@ class TestShardedSamplers:
             (pf.t, steps)
 
     def test_sampler_documented_raises(self):
-        from particles_tpu import distributions as dists
         from particles_tpu import smc_samplers as ssp
-        from particles_tpu import state_space_models as ssms
 
         model, _ = self._conjugate_model()
         mesh = self._mesh()
@@ -702,11 +700,102 @@ class TestShardedSamplers:
                                       resampling="ssp")
         with pytest.raises(NotImplementedError, match="qmc"):
             parallel.run_shardmap_smc(fk, N=128, mesh=mesh, qmc=True)
-        prior = dists.StructDist({"mu": dists.Normal(scale=1.0)})
-        fk2 = ssp.SMC2(ssm_cls=ssms.StochVol, prior=prior,
-                       data=np.zeros(5, np.float32), init_Nx=8)
-        with pytest.raises(NotImplementedError, match="SMC2"):
-            parallel.run_shardmap_smc(fk2, N=64, mesh=mesh)
+
+
+class TestShardedSMC2:
+    """Round 5 (final): SMC² with the THETA-particle axis sharded over
+    the mesh — the reference's heaviest published workload
+    (smc_samplers.py:1038-1167, the "~2 h" study class) on the same
+    sharded stepping engine as IBIS/tempering.  Each shard advances its
+    slice of the vmapped inner bootstrap filters (their (Nx,) weight
+    reductions stay theta-local via distctx.local_context); the
+    theta-resample ring-serves whole inner-filter pytrees (xs, lws and
+    the uint32-bitcast pf_key ride the ppermute ring); the host-side
+    exchange step (Nx doubling) replays sharded inner filters through
+    GSPMD."""
+
+    def _mesh(self):
+        return parallel.make_mesh(8, ("particles",))
+
+    @staticmethod
+    def _lg_setup(T=12):
+        from particles_tpu import distributions as dists
+        from particles_tpu import kalman
+
+        true = kalman.LinearGauss(rho=0.8, sigmaX=1.0, sigmaY=0.5)
+        _, y = true.simulate(jax.random.key(0), T)
+
+        class LGfixed(kalman.LinearGauss):
+            default_params = {
+                "sigmaY": 0.5, "rho": 0.9, "sigmaX": 1.0, "sigma0": None
+            }
+
+        prior = dists.StructDist({"rho": dists.Uniform(a=-0.99, b=0.99)})
+        # oracle: marginal evidence + posterior mean by grid quadrature
+        grid = np.linspace(-0.985, 0.985, 80)
+        lls = []
+        for r in grid:
+            kf = kalman.Kalman(ssm=LGfixed(rho=float(r)), data=y)
+            kf.filter()
+            lls.append(float(kf.logLt))
+        lls = np.array(lls)
+        from scipy.special import logsumexp
+
+        prior_dens = 1.0 / (2 * 0.99)
+        exact_ev = logsumexp(lls) + np.log(prior_dens * (grid[1] - grid[0]))
+        post = np.exp(lls - lls.max())
+        post /= post.sum()
+        exact_pmean = float(np.sum(post * grid))
+        return LGfixed, prior, y, float(exact_ev), exact_pmean
+
+    def test_evidence_and_posterior_match_oracle(self):
+        from particles_tpu import smc_samplers as ssp
+
+        LGfixed, prior, y, exact_ev, exact_pmean = self._lg_setup()
+        mesh = self._mesh()
+        logLts, means = [], []
+        for s in range(4):
+            fk = ssp.SMC2(ssm_cls=LGfixed, prior=prior, data=y,
+                          init_Nx=150, len_chain=4)
+            res = parallel.run_shardmap_smc(
+                fk, N=152, key=jax.random.key(s), mesh=mesh)
+            assert res.t == y.shape[0]
+            logLts.append(float(res.logLt))
+            W = np.asarray(res.W)
+            means.append(float(np.sum(W * np.asarray(res.X.theta["rho"]))))
+        assert abs(np.mean(logLts) - exact_ev) < 0.4, (logLts, exact_ev)
+        assert abs(np.mean(means) - exact_pmean) < 0.25, (means, exact_pmean)
+
+    def test_exchange_doubles_nx_and_stays_sane(self):
+        from particles_tpu import smc_samplers as ssp
+
+        LGfixed, prior, y, _, _ = self._lg_setup(T=10)
+        mesh = self._mesh()
+        # absurd threshold forces an exchange at every resample-move step
+        fk = ssp.SMC2(ssm_cls=LGfixed, prior=prior, data=y, init_Nx=16,
+                      len_chain=3, ar_to_increase_Nx=0.95)
+        res = parallel.run_shardmap_smc(
+            fk, N=64, key=jax.random.key(3), mesh=mesh)
+        assert res.X.xs.shape[-1] > 16  # Nx was doubled at least once
+        assert np.isfinite(float(res.logLt))
+        assert float(res.wgts.ESS) > 1.0
+
+    def test_waste_free_smc2(self):
+        """Waste-free SMC² (M*P theta particles): the ring's M != N0
+        shape change serves whole inner-filter pytrees."""
+        from particles_tpu import smc_samplers as ssp
+
+        LGfixed, prior, y, exact_ev, _ = self._lg_setup()
+        mesh = self._mesh()
+        vals = []
+        for s in range(3):
+            fk = ssp.SMC2(ssm_cls=LGfixed, prior=prior, data=y,
+                          init_Nx=100, wastefree=True, len_chain=4)
+            res = parallel.run_shardmap_smc(
+                fk, N=64, key=jax.random.key(s), mesh=mesh)
+            assert res.X.N == 64 * 4  # N0 = M * len_chain
+            vals.append(float(res.logLt))
+        assert abs(np.mean(vals) - exact_ev) < 0.6, (vals, exact_ev)
 
 
 class TestChainsTimesDevices:
