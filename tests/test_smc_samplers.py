@@ -254,6 +254,23 @@ class TestSMC2:
         assert abs(np.mean(logLts) - exact_ev) < 0.4, (np.mean(logLts), exact_ev)
         assert abs(np.mean(means) - exact_pmean) < 0.25, (np.mean(means), exact_pmean)
 
+    def test_wastefree_smc2(self, smc2_setup):
+        """Waste-free SMC² (M starting points, len_chain states kept):
+        the inner-filter pytrees ride the waste-free concatenate and the
+        M*P -> M subset; evidence stays oracle-consistent."""
+        LGfixed, prior, y, exact_ev, _ = smc2_setup
+        vals = []
+        for s in range(3):
+            fk = ssp.SMC2(
+                ssm_cls=LGfixed, prior=prior, data=y, init_Nx=100,
+                wastefree=True, len_chain=4,
+            )
+            pf = particles.SMC(fk=fk, N=50, key=jax.random.key(s))
+            pf.run()
+            assert pf.X.N == 50 * 4  # N0 = M * len_chain
+            vals.append(float(pf.logLt))
+        assert abs(np.mean(vals) - exact_ev) < 0.6, (vals, exact_ev)
+
 
 class TestSMC2Exchange:
     def test_exchange_doubles_nx_and_stays_sane(self):
