@@ -404,6 +404,14 @@ def multinomial_iid(key, W, M=None):
     )
 
 
+# Largest N for which the integer-stream su-mode trick (``su = idx +
+# 0.5``) is exact in f32: above 2^23 the ulp is 1.0, so an odd idx
+# rounds to the integer ``idx + 1 == cs_idx`` and the serve is off by
+# one.  :func:`take_sorted` / :func:`take_by_sort` fall back to plain
+# gathers above it.
+_SU_IDX_MAX = 1 << 23
+
+
 def _serve_cols_prep(cols, N):
     """Prepare payload columns for a fused kernel serve: f32 (and other
     kernel-exact dtypes) pass through; int32 INDEX-valued columns (values
@@ -436,10 +444,12 @@ def take_sorted(idx, cols, _plan_cache=None):
     A gather with sorted indices IS an inverse-CDF serve — ``Y[j] =
     X[i(j)]`` with ``i(j) = #{i: i < idx_j}`` — so it routes through the
     su-mode repeat kernel on integer-valued streams (``su = idx + 0.5``,
-    ``cs = i + 1``; both exact f32 below 2^24, no ties by the half
-    offset): one fused pallas_call for ALL columns, versus one ~60M
-    elem/s random ``jnp.take`` per column (VERDICT r4 task 3 — the
-    FFBS backward pass's dominant cost).  Falls back to ``jnp.take``
+    ``cs = i + 1``: the half offset breaks ties, and ``idx + 0.5`` is
+    exact f32 only for ``idx < 2^23`` — hence the ``_SU_IDX_MAX`` gate;
+    above it an odd idx would round to the integer ``idx + 1 == cs_idx``
+    and mis-serve by one): one fused pallas_call for ALL columns, versus
+    one ~60M elem/s random ``jnp.take`` per column (VERDICT r4 task 3 —
+    the FFBS backward pass's dominant cost).  Falls back to ``jnp.take``
     (non-TPU, N not a 1024-multiple — the su-plan's padding assumes
     cs <= 1 — unrouteable dtypes).
     """
@@ -449,7 +459,7 @@ def take_sorted(idx, cols, _plan_cache=None):
     N = idx.shape[0]
     prep = _serve_cols_prep(cols, N)
     if (prep is not None and rk._on_tpu() and N >= rk._C
-            and N % rk._C == 0):
+            and N % rk._C == 0 and N <= _SU_IDX_MAX):
         prepped, restore = prep
         su = idx.astype(jnp.float32) + jnp.float32(0.5)
         cs = jnp.arange(1, N + 1, dtype=jnp.float32)
@@ -472,7 +482,7 @@ def take_by_sort(idx, cols):
     N = idx.shape[0]
     prep = _serve_cols_prep(cols, N)
     if not (prep is not None and rk._on_tpu() and N >= rk._C
-            and N % rk._C == 0):
+            and N % rk._C == 0 and N <= _SU_IDX_MAX):
         return [jnp.take(c, idx, axis=0) for c in cols]
     prepped, restore = prep
     iota = jnp.arange(N, dtype=jnp.int32)

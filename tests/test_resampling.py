@@ -1107,6 +1107,35 @@ class TestSortedGatherServes(TestMultinomialIIDFastPath):
         finally:
             self._restore(origs)
 
+    def test_su_idx_gate_above_2_23(self):
+        """Above ``_SU_IDX_MAX`` (2^23) the integer-stream su trick is
+        inexact (``idx + 0.5`` has no f32 representation — an odd idx
+        rounds onto ``cs_idx`` and mis-serves by one), so ``take_sorted``
+        must NOT attempt the kernel route even when TPU is available."""
+        from particles_tpu import ops
+
+        # the inexactness the gate protects against, stated as a fact
+        bad = np.float32(rs._SU_IDX_MAX + 1) + np.float32(0.5)
+        assert bad == np.float32(rs._SU_IDX_MAX + 2)  # rounded, not x.5
+
+        origs = self._patched()
+        orig_plan = ops.make_repeat_plan_su
+        calls = []
+        ops.make_repeat_plan_su = (
+            lambda *a, **k: calls.append(1) or orig_plan(*a, **k))
+        try:
+            N = rs._SU_IDX_MAX + 1024  # 1024-multiple: only the gate trips
+            idx = np.sort(np.random.default_rng(7).integers(
+                0, N, size=N)).astype(np.int32)
+            x = jnp.arange(N, dtype=jnp.float32)
+            got = rs.take_sorted(jnp.asarray(idx), [x])
+            assert not calls, "su route attempted above _SU_IDX_MAX"
+            np.testing.assert_array_equal(np.asarray(got[0]),
+                                          idx.astype(np.float32))
+        finally:
+            ops.make_repeat_plan_su = orig_plan
+            self._restore(origs)
+
     def test_fallbacks_off_tpu(self):
         """Without the TPU route the helpers are plain gathers."""
         N = 300  # not a 1024-multiple: never routes
