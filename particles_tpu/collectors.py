@@ -285,16 +285,15 @@ class Paris(OnlineSmootherMixin, Collector):
             return jnp.any(rejected) & (trials < maxtries)
 
         As0 = jnp.zeros((N, P), jnp.int32)
-        # no_pallas: keep multinomial_iid's Pallas fast path out of this
-        # while_loop body — unvalidated on real TPU (Mosaic has hung on
-        # while loops with DMAs, CLAUDE.md); gate until smoke-tested.
-        from particles_tpu.ops import guard
-
-        with guard.no_pallas():
-            As, rejected, _, _ = jax.lax.while_loop(
-                cond, trial, (As0, jnp.ones((N, P), bool), kloop,
-                              jnp.int32(0))
-            )
+        # multinomial_iid's Pallas fast path inside this while_loop body
+        # is chip-validated (tools/smoke_whileloop_pallas.py, 2026-08-19:
+        # N=2048/Nparis=2, compiles and runs, same law as the
+        # searchsorted route — the round-4 no_pallas gate here is no
+        # longer needed)
+        As, rejected, _, _ = jax.lax.while_loop(
+            cond, trial, (As0, jnp.ones((N, P), bool), kloop,
+                          jnp.int32(0))
+        )
         # exact fallback (full (N,N) backward weights + (N,P,N) Gumbel
         # draws) — only computed when some trajectory is still rejected;
         # lax.cond keeps the hybrid O(N) per step at high acceptance

@@ -1327,8 +1327,14 @@ def _get_compiled_runner(fk_cls, N, T, qmc, resampling_scheme, ESSrmin,
     key includes its structural signature so differently-configured
     collectors do not collide.
     """
+    from particles_tpu.ops.guard import pallas_allowed
+
+    # the ambient Pallas guard is trace-time state: a runner traced with
+    # kernels enabled must never be served to a no_pallas() caller (GSPMD
+    # contexts), nor vice versa — key the cache on it
     cache_key = (fk_cls, N, T, qmc, resampling_scheme, ESSrmin,
-                 _summaries_signature(summaries), store_history)
+                 _summaries_signature(summaries), store_history,
+                 pallas_allowed())
     if cache_key not in _runner_cache:
         if len(_runner_cache) >= _RUNNER_CACHE_MAX:
             # Evict oldest half (dicts preserve insertion order).  Unbounded

@@ -393,17 +393,14 @@ class ParticleHistory:
 
             idx_t0 = jnp.zeros(M, jnp.int32)
             state = (idx_t0, jnp.ones(M, bool), jnp.int32(0), jnp.int32(0), k)
-            # no_pallas: multinomial_iid's sort-serve-unsort fast path would
-            # embed Pallas kernels in this while_loop body — an unvalidated
-            # route on real TPU (Mosaic has hung on while loops with DMAs,
-            # CLAUDE.md); only the fori_loop FFBS-MCMC route is
-            # chip-validated.  Gate until smoke-tested on hardware.
-            from particles_tpu.ops import guard
-
-            with guard.no_pallas():
-                idx_t, rejected, nprops, _, _ = jax.lax.while_loop(
-                    cond, trial, state
-                )
+            # multinomial_iid's Pallas fast path inside this while_loop
+            # body is chip-validated (tools/smoke_whileloop_pallas.py,
+            # 2026-08-19: compiles and runs at N=M=2^14, identical law to
+            # the searchsorted route — the round-4 no_pallas gate here is
+            # no longer needed)
+            idx_t, rejected, nprops, _, _ = jax.lax.while_loop(
+                cond, trial, state
+            )
             # exact fallback for still-rejected trajectories, O(MN) — but
             # only when something was actually rejected: lax.cond skips the
             # matrix entirely on fully-accepted steps, so the hybrid's cost
