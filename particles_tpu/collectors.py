@@ -294,23 +294,41 @@ class Paris(OnlineSmootherMixin, Collector):
             cond, trial, (As0, jnp.ones((N, P), bool), kloop,
                           jnp.int32(0))
         )
-        # exact fallback (full (N,N) backward weights + (N,P,N) Gumbel
-        # draws) — only computed when some trajectory is still rejected;
-        # lax.cond keeps the hybrid O(N) per step at high acceptance
-        # (reference collectors.py:390-449's point)
-        def _exact_fallback(k, A):
-            lw_mat = jax.vmap(
-                lambda x_n: prev_lw + fk.logpt(t, prev_X, x_n)
-            )(view.X)  # (N, N)
-            g = jax.random.gumbel(k, (N, P, N))
-            exact = jnp.argmax(
-                lw_mat[:, None, :] + g, axis=-1
-            ).astype(jnp.int32)
-            return jnp.where(rejected, exact, A)
+        # exact fallback for the stragglers only, in (K, N) chunks
+        # (reference collectors.py:390-449 loops over them; the naive
+        # jittable phrasing — a full (N, N) weight matrix + (N, P, N)
+        # Gumbel tensor — is O(N²P) per step and memory-infeasible at
+        # N = 2^17): compact the rejected flat indices to the front with
+        # one sort, then a while_loop whose trip count is
+        # ceil(n_rejected / K) — zero on fully-accepted steps
+        MF = N * P
+        rej_f = rejected.reshape(MF)
+        Kc = int(min(MF, max(8, (1 << 24) // max(N, 1))))
+        nrej = jnp.sum(rej_f.astype(jnp.int32))
+        _, strag = jax.lax.sort(
+            ((~rej_f).astype(jnp.int32), jnp.arange(MF, dtype=jnp.int32)),
+            num_keys=1)
+        # pad with MF (out of bounds): invalid lanes drop in the scatter
+        strag_pad = jnp.concatenate([strag, jnp.full((Kc,), MF, jnp.int32)])
 
-        As = jax.lax.cond(
-            jnp.any(rejected), _exact_fallback, lambda k, A: A, kfall, As
-        )
+        def fb_body(st):
+            start, A = st
+            sl = jax.lax.dynamic_slice(strag_pad, (start,), (Kc,))
+            valid = (start + jnp.arange(Kc, dtype=jnp.int32)) < nrej
+            sl = jnp.where(valid, sl, MF)
+            x_sl = jnp.take(view.X, sl // P, axis=0)
+            lwm = jax.vmap(
+                lambda x_n: prev_lw + fk.logpt(t, prev_X, x_n)
+            )(x_sl)  # (Kc, N)
+            g = jax.random.gumbel(jax.random.fold_in(kfall, start),
+                                  (Kc, N))
+            exact = jnp.argmax(lwm + g, axis=-1).astype(jnp.int32)
+            A = A.at[sl].set(exact, mode="drop")
+            return start + Kc, A
+
+        _, As_f = jax.lax.while_loop(
+            lambda st: st[0] < nrej, fb_body, (jnp.int32(0), As.reshape(MF)))
+        As = As_f.reshape(N, P)
         vals = jnp.take(Phi, As, axis=0) + fk.add_func(
             t, jnp.take(prev_X, As, axis=0), view.X[:, None]
         )

@@ -401,22 +401,45 @@ class ParticleHistory:
             idx_t, rejected, nprops, _, _ = jax.lax.while_loop(
                 cond, trial, state
             )
-            # exact fallback for still-rejected trajectories, O(MN) — but
-            # only when something was actually rejected: lax.cond skips the
-            # matrix entirely on fully-accepted steps, so the hybrid's cost
-            # stays ~O(M+N) at high acceptance (the point of the hybrid
-            # variant, reference smoothing.py:352-423)
-            def _exact_fallback(k, idx):
+            # exact fallback for still-rejected trajectories, processed in
+            # straggler chunks (reference smoothing.py:352-423 loops over
+            # the stragglers only; a full (M, N) logpt matrix — the naive
+            # jittable phrasing — costs O(MN) per step and at M = N = 2^14
+            # measured 250 ms/step because SOME trajectory is almost
+            # always still rejected).  Compact the rejected indices to the
+            # front with one sort (sorts are the fast primitive on TPU),
+            # then a while_loop over (K, N) chunks — trip count
+            # ceil(n_rejected / K), i.e. ZERO on fully-accepted steps and
+            # one small chunk in the typical few-stragglers case.
+            N_src = lw_t.shape[0]
+            Kc = int(min(M, max(8, (1 << 24) // max(N_src, 1))))
+            nrej = jnp.sum(rejected.astype(jnp.int32))
+            _, strag = jax.lax.sort(
+                ((~rejected).astype(jnp.int32),
+                 jnp.arange(M, dtype=jnp.int32)), num_keys=1)
+            # pad with M (out-of-bounds): invalid lanes are dropped by the
+            # scatter, so no stale writes can race a real update
+            strag_pad = jnp.concatenate(
+                [strag, jnp.full((Kc,), M, jnp.int32)])
+
+            def fb_body(st):
+                start, idx = st
+                sl = jax.lax.dynamic_slice(strag_pad, (start,), (Kc,))
+                valid = (start + jnp.arange(Kc, dtype=jnp.int32)) < nrej
+                sl = jnp.where(valid, sl, M)
+                xn_sl = jax.tree_util.tree_map(
+                    lambda l: jnp.take(l, sl, axis=0), xn)
                 lwm = jax.vmap(
                     lambda x_one: lw_t + fk.logpt(t + 1, X_t, x_one)
-                )(xn)
-                exact = _gumbel_categorical(k, lwm)
-                return jnp.where(rejected, exact, idx)
+                )(xn_sl)
+                exact = _gumbel_categorical(
+                    jax.random.fold_in(kfall, start), lwm)
+                idx = idx.at[sl].set(exact, mode="drop")
+                return start + Kc, idx
 
-            idx_t = jax.lax.cond(
-                jnp.any(rejected), _exact_fallback,
-                lambda k, idx: idx, kfall, idx_t,
-            )
+            _, idx_t = jax.lax.while_loop(
+                lambda st: st[0] < nrej, fb_body,
+                (jnp.int32(0), idx_t))
             acc = (M - jnp.sum(rejected)) / jnp.maximum(nprops, 1)
             return idx_t, (idx_t, acc)
 

@@ -25,9 +25,12 @@ Env knobs: ``SMOKE_N`` / ``SMOKE_NP`` shrink the sizes (CPU mechanics
 check); ``SMOKE_SKIP_REJECT=1`` runs only the PaRIS section.
 
 Measured on-chip 2026-08-19 (v5e): reject-FFBS N=M=2^14 cold
-69.7 s gated vs 7.4 s ungated, warm 7.29 vs 7.17 (both dominated by the
-O(MN) exact fallback at this size); PaRIS N=2048 validated correct.
-``SMOKE OK`` = the gates can be dropped.
+69.7 s gated vs 7.4 s ungated, warm 7.29 vs 7.17; PaRIS N=2048
+validated correct.  ``SMOKE OK`` = the gates can be dropped — and they
+WERE (commit 170cfe5), so the "gated" leg now runs the same Pallas
+program as the ungated one (the comparison degenerates to a
+determinism check; kept as an on-chip regression smoke, re-run after
+the straggler-chunked fallback landed: identical outputs, SMOKE OK).
 """
 
 import contextlib
