@@ -268,12 +268,29 @@ class Paris(OnlineSmootherMixin, Collector):
         P = self.Nparis
         key, kloop, kfall = jax.random.split(key, 3)
 
+        from particles_tpu.smoothing import _tree_cols
+
+        xprep = _tree_cols(prev_X)
+
         def trial(st):
             As, rejected, k, trials = st
             k, k1, k2 = jax.random.split(k, 3)
-            prop = rs.multinomial_iid(k1, prev_W, N * P).reshape(N, P)
+            if xprep is None:
+                prop = rs.multinomial_iid(k1, prev_W, N * P)
+                x_prop = jnp.take(prev_X, prop, axis=0)
+            else:
+                # fused draw + value serve (one kernel-chunk pass instead
+                # of a random (N*P,) gather per trial); falls back to
+                # exactly the take above off-TPU
+                xcols, xrebuild = xprep
+                prop, vals = rs.multinomial_iid_values(
+                    k1, prev_W, list(xcols), N * P)
+                x_prop = xrebuild(vals)
+            prop = prop.reshape(N, P)
+            x_prop = jax.tree_util.tree_map(
+                lambda l: l.reshape((N, P) + l.shape[1:]), x_prop)
             # view.X[:, None]: (N, 1[, d]) broadcasts against (N, P[, d])
-            lp = fk.logpt(t, jnp.take(prev_X, prop, axis=0), view.X[:, None]) - upb
+            lp = fk.logpt(t, x_prop, view.X[:, None]) - upb
             lu = jnp.log(jax.random.uniform(k2, (N, P)))
             newly = rejected & (lu < lp)
             As = jnp.where(newly, prop, As)

@@ -353,6 +353,46 @@ def multinomial(key, W, M):
     return counts_to_ancestors(multinomial_counts(key, W, M), M)
 
 
+def _su_serve_chunks(su, cs1, M, prepped, want_anc=True):
+    """Serve the sorted-query inverse CDF through the su-mode kernel in
+    ``M // N`` contiguous chunks of N (the kernel serves N outputs from N
+    sources; a sorted query stream of M = k*N splits into k sorted chunks
+    against the SAME cumulative weights).  ``cs1`` is the monotone
+    normalised cumsum with ``cs1[-1]`` pinned to 1.0.  Returns
+    ``(served_cols, anc)`` with (M,) leading dims, or None when any
+    chunk's plan is unavailable (callers fall back).
+
+    This is what keeps ``multinomial_iid`` / ``multinomial_iid_values``
+    on the kernel route for M a small multiple of N — the PaRIS
+    collector's per-trial draw is M = Nparis*N, and the fallback it
+    would otherwise take (counts + ``jnp.repeat`` at M=2^18) costs
+    ~10-16 ms per trial on TPU.
+    """
+    from particles_tpu import ops
+    from particles_tpu.ops import repeat_kernel as rk
+
+    N = cs1.shape[0]
+    outs, ancs = [[] for _ in prepped], []
+    for c in range(M // N):
+        plan = ops.make_repeat_plan_su(su[c * N:(c + 1) * N], cs1, N)
+        if plan is None:
+            return None
+        served, anc = rk.repeat_with_plan_cols(plan, prepped,
+                                               want_anc=want_anc)
+        for o, s in zip(outs, served):
+            o.append(s)
+        if want_anc:
+            ancs.append(anc)
+    cat = (lambda xs: xs[0] if len(xs) == 1 else jnp.concatenate(xs))
+    cols = [cat(o) for o in outs]
+    return cols, (cat(ancs) if want_anc else None)
+
+
+# largest M/N multiple served by chunked su-mode kernel calls (each chunk
+# is one pallas_call; beyond this the merge-rank/repeat fallback wins)
+_SU_CHUNK_MAX = 16
+
+
 def multinomial_iid(key, W, M=None):
     """Multinomial resampling with IID (unsorted) output (resampling.py:561-571).
 
@@ -382,14 +422,14 @@ def multinomial_iid(key, W, M=None):
         su, perm = jax.lax.sort((u, iota), num_keys=1)
         cs, cs_mono = _normalised_cumsum_mono(W)
         anc_sorted = None
-        if cs_mono and M == N:
+        if cs_mono and M % N == 0 and M // N <= _SU_CHUNK_MAX:
             # fused inverse-CDF serve: the P=0 ancestor instantiation of
-            # the su-mode plan (cs[-1] pinned above every u < 1)
-            plan = ops.make_repeat_plan_su(
-                su, cs.at[-1].set(jnp.float32(1.0)), M)
-            if plan is not None:
-                _, anc_sorted = rk.repeat_with_plan_cols(
-                    plan, [], want_anc=True)
+            # the su-mode plan (cs[-1] pinned above every u < 1), one
+            # kernel call per N-sized chunk of the sorted query stream
+            got = _su_serve_chunks(
+                su, cs.at[-1].set(jnp.float32(1.0)), M, [])
+            if got is not None:
+                _, anc_sorted = got
         if anc_sorted is None:
             z = _merge_rank_counts(su, cs, M)
             z = z.at[-1].set(M)
@@ -509,34 +549,35 @@ def multinomial_iid_values(key, W, cols, M=None):
     M = W.shape[0] if M is None else M
     N = W.shape[0]
     u = jax.random.uniform(key, (M,))
-    prep = _serve_cols_prep(cols, N) if M == N else None
+    prep = (_serve_cols_prep(cols, N)
+            if M % N == 0 and M // N <= _SU_CHUNK_MAX else None)
     if prep is not None and rk._on_tpu() and M >= rk._C and N >= rk._C:
         prepped, restore = prep
         iota = jnp.arange(M, dtype=jnp.int32)
         su, perm = jax.lax.sort((u, iota), num_keys=1)
         cs, cs_mono = _normalised_cumsum_mono(W)
         if cs_mono:
-            plan = ops.make_repeat_plan_su(
-                su, cs.at[-1].set(jnp.float32(1.0)), M)
+            got = _su_serve_chunks(
+                su, cs.at[-1].set(jnp.float32(1.0)), M, prepped)
+            if got is not None:
+                served, anc_sorted = got
+                out = jax.lax.sort((perm, anc_sorted) + tuple(served),
+                                   num_keys=1)
+                return out[1], [r(y) for r, y in zip(restore, out[2:])]
+        if M == N:
+            # merge-rank fallback path: indices via the P=0 kernel,
+            # values via the same z-plan
+            z = _merge_rank_counts(su, cs, M)
+            z = z.at[-1].set(M)
+            if not cs_mono:
+                z = _monotone_z(z)
+            plan = ops.make_repeat_plan(z, M)
             if plan is not None:
                 served, anc_sorted = rk.repeat_with_plan_cols(
                     plan, prepped, want_anc=True)
                 out = jax.lax.sort((perm, anc_sorted) + tuple(served),
                                    num_keys=1)
                 return out[1], [r(y) for r, y in zip(restore, out[2:])]
-        # merge-rank fallback path: indices via the P=0 kernel, values
-        # via the same z-plan
-        z = _merge_rank_counts(su, cs, M)
-        z = z.at[-1].set(M)
-        if not cs_mono:
-            z = _monotone_z(z)
-        plan = ops.make_repeat_plan(z, M)
-        if plan is not None:
-            served, anc_sorted = rk.repeat_with_plan_cols(
-                plan, prepped, want_anc=True)
-            out = jax.lax.sort((perm, anc_sorted) + tuple(served),
-                               num_keys=1)
-            return out[1], [r(y) for r, y in zip(restore, out[2:])]
     A = multinomial_iid(key, W, M)
     return A, [jnp.take(c, A, axis=0) for c in cols]
 

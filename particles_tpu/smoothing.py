@@ -369,17 +369,24 @@ class ParticleHistory:
             ubnd = fk.upper_bound_trans(t + 1)
             k, kfall = jax.random.split(k)
 
+            xt_prep = _tree_cols(X_t)
+
             def trial(state):
                 idx_t, rejected, nprops, trials, k = state
                 k, k1, k2 = jax.random.split(k, 3)
-                prop = rs.multinomial_iid(k1, W_t, M)
-                lp = fk.logpt(
-                    t + 1,
-                    jax.tree_util.tree_map(
-                        lambda l: jnp.take(l, prop, axis=0), X_t
-                    ),
-                    xn,
-                ) - ubnd
+                if xt_prep is None:
+                    prop = rs.multinomial_iid(k1, W_t, M)
+                    x_prop = jax.tree_util.tree_map(
+                        lambda l: jnp.take(l, prop, axis=0), X_t)
+                else:
+                    # fused draw + value serve: X_t[prop] rides the same
+                    # kernel pass as the proposal draw (identical
+                    # fallback semantics off-TPU)
+                    xt_cols, xt_rebuild = xt_prep
+                    prop, vals = rs.multinomial_iid_values(
+                        k1, W_t, list(xt_cols), M)
+                    x_prop = xt_rebuild(vals)
+                lp = fk.logpt(t + 1, x_prop, xn) - ubnd
                 lu = jnp.log(jax.random.uniform(k2, (M,)))
                 newly = rejected & (lu < lp)
                 idx_t = jnp.where(newly, prop, idx_t)

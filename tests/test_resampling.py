@@ -858,6 +858,38 @@ class TestMultinomialIIDFastPath:
         finally:
             self._restore(origs)
 
+    @pytest.mark.parametrize("k", [2, 4])
+    def test_m_multiple_of_n_chunked_route(self, k):
+        """Round 5: M = k*N routes through k chunked su-mode kernel calls
+        (one per N-sized slice of the sorted query stream) — the PaRIS
+        per-trial draw shape.  Realisation must match searchsorted on the
+        same (pinned) cumulative weights, for indices AND served values."""
+        import jax
+
+        origs = self._patched()
+        try:
+            N = 2048
+            M = k * N
+            rng = np.random.default_rng(17 + k)
+            W = rs.exp_and_normalise(
+                jnp.asarray(rng.normal(size=N), jnp.float32))
+            x = jnp.asarray(rng.normal(size=N), jnp.float32)
+            key = jax.random.key(23)
+            out = np.asarray(rs.multinomial_iid(key, W, M=M))
+            cs, mono = rs._normalised_cumsum_mono(W)
+            cs_np = np.asarray(cs if not mono
+                               else cs.at[-1].set(jnp.float32(1.0)))
+            u = np.asarray(jax.random.uniform(key, (M,)))
+            expected = np.clip(
+                np.searchsorted(cs_np, u, side="left"), 0, N - 1)
+            np.testing.assert_array_equal(out, expected)
+            A, vals = rs.multinomial_iid_values(key, W, [x], M=M)
+            np.testing.assert_array_equal(np.asarray(A), expected)
+            np.testing.assert_array_equal(
+                np.asarray(vals[0]), np.asarray(x)[expected])
+        finally:
+            self._restore(origs)
+
     def test_m_not_n_route(self):
         import jax
 
